@@ -1,0 +1,217 @@
+"""IGSO(3) (isotropic Gaussian on SO(3)) angular density tables and sampling.
+
+TPU-native re-design of the reference's `diffab_pytorch/so3.py:9-126` (class
+SO3).  The reference precomputes, per sigma in the diffusion schedule, an
+8192-bin histogram of the IGSO(3) angular pdf with a Python loop over sigmas
+and caches it to disk keyed by Python hash() (fragile — SURVEY.md §2.9#14).
+Here:
+
+  * The whole (n_sigmas, n_bins) table is one float64 numpy matmul at init
+    ((2l+1)e^{-l(l+1)sigma^2} terms against sin((l+1/2)theta)/sin(theta/2)
+    angle terms), deterministic and fast enough (~10 ms) that no disk cache
+    is needed.  Semantics of so3.py:52-72 incl. the NaN-scrub and clamp >= 0
+    (so3.py:61).
+  * Sampling is pure jax.random, shape-static and jit/scan-friendly: the
+    angle is drawn by inverse-CDF binary search over the per-sigma CDF plus a
+    uniform jitter within the bin (same distribution as the reference's
+    torch.multinomial over bin masses + uniform jitter, so3.py:74-84), or —
+    for sigma >= 0.1 — from N(2 sigma, sigma^2) folded mod pi
+    (so3.py:86-96).  The branch select is a jnp.where on a precomputed
+    per-sigma mask (so3.py:122-125).
+  * The axis is uniform on S^2 via a normalized 3D Gaussian (so3.py:110-114).
+
+The resulting axis-angle vectors feed `so3.vector_to_rotation_matrix` exactly
+as in the reference's OrientationDiffuser (diffusion.py:284-289).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_N_BINS = 8192
+DEFAULT_N_TERMS = 1024
+DEFAULT_SIGMA_THRESHOLD = 0.1
+
+
+class IGSO3Table(NamedTuple):
+    """Precomputed per-sigma angular distribution tables (device arrays).
+
+    Attributes:
+      sigmas:   (S,)  the sigma grid (typically sqrt(1 - alpha_bar) of the
+                diffusion schedule, indexed by timestep — diffusion.py:254-255).
+      probs:    (S, n_bins) normalized bin masses of the IGSO(3) angular pdf.
+      cdf:      (S, n_bins) inclusive cumulative masses (last column == 1).
+      use_hist: (S,) bool, True where sigma < sigma_threshold (histogram
+                branch), False for the folded-Gaussian branch.
+    """
+
+    sigmas: jax.Array
+    probs: jax.Array
+    cdf: jax.Array
+    use_hist: jax.Array
+
+    @property
+    def n_bins(self) -> int:
+        return self.probs.shape[-1]
+
+
+def igso3_angular_pdf(
+    theta: np.ndarray, sigmas: np.ndarray, n_terms: int = DEFAULT_N_TERMS
+) -> np.ndarray:
+    """IGSO(3) angular density f(theta | sigma) on a (S, len(theta)) grid.
+
+    f(theta|sigma) = (1-cos theta)/pi * sum_{l=0}^{n_terms-1}
+                     (2l+1) e^{-l(l+1) sigma^2} sin((l+1/2) theta)/sin(theta/2)
+
+    Float64 on host.  Semantics of reference so3.py:65-72, vectorized over
+    all sigmas at once as a (S, L) x (L, B) matmul.
+    """
+    theta = np.asarray(theta, dtype=np.float64)
+    sigmas = np.asarray(sigmas, dtype=np.float64)
+    ls = np.arange(n_terms, dtype=np.float64)
+
+    # (S, n_terms): series coefficients per sigma.
+    coef = (2.0 * ls + 1.0) * np.exp(-ls * (ls + 1.0) * sigmas[:, None] ** 2)
+    # (n_terms, B): angle-dependent factor.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ang = np.sin((ls[:, None] + 0.5) * theta[None, :]) / np.sin(theta[None, :] / 2.0)
+    series = coef @ ang  # (S, B)
+    pdf = (1.0 - np.cos(theta))[None, :] / np.pi * series
+    pdf = np.nan_to_num(pdf)
+    return np.clip(pdf, 0.0, None)
+
+
+def build_igso3_table(
+    sigmas: np.ndarray,
+    n_bins: int = DEFAULT_N_BINS,
+    n_terms: int = DEFAULT_N_TERMS,
+    sigma_threshold: float = DEFAULT_SIGMA_THRESHOLD,
+    dtype=jnp.float32,
+) -> IGSO3Table:
+    """Build the sampling tables for a sigma grid (host compute, device output).
+
+    Bin layout matches reference so3.py:56-57: n_bins equal bins over
+    [0, pi), pdf evaluated at bin centers.
+    """
+    sigmas = np.asarray(sigmas, dtype=np.float64).reshape(-1)
+    binsize = np.pi / n_bins
+    bin_centers = np.arange(n_bins, dtype=np.float64) * binsize + binsize / 2.0
+
+    probs = igso3_angular_pdf(bin_centers, sigmas, n_terms=n_terms)  # (S, B)
+
+    row_sum = probs.sum(axis=-1, keepdims=True)
+    # Degenerate rows fall back to a point mass at theta ~ 0, the correct
+    # sigma -> 0 limit.  At sigma ~ 0 the truncated series (n_terms) is an
+    # unconverged Dirichlet-kernel partial sum whose clipped values are junk
+    # spread over [0, pi) — the reference samples from that junk (so3.py:61
+    # only NaN-scrubs); we detect it via the convergence radius instead:
+    # terms decay like e^{-l^2 sigma^2}, so sigma * n_terms >> 1 is required.
+    degenerate = (row_sum <= 0.0) | (sigmas[:, None] * n_terms < 6.0)
+    fallback = np.zeros_like(probs)
+    fallback[:, 0] = 1.0
+    probs = np.where(degenerate, fallback, probs / np.where(degenerate, 1.0, row_sum))
+
+    cdf = np.cumsum(probs, axis=-1)
+    cdf = cdf / cdf[:, -1:]
+
+    return IGSO3Table(
+        sigmas=jnp.asarray(sigmas, dtype=dtype),
+        probs=jnp.asarray(probs, dtype=dtype),
+        cdf=jnp.asarray(cdf, dtype=dtype),
+        use_hist=jnp.asarray(sigmas < sigma_threshold),
+    )
+
+
+def _searchsorted_rows(cdf_rows: jax.Array, u: jax.Array) -> jax.Array:
+    """Vectorized inverse-CDF lookup.
+
+    cdf_rows: (..., n_bins) — a CDF per element.
+    u:        (...,) uniform variates in [0, 1).
+    Returns the smallest bin index with cdf >= u, as (...,) int32.
+
+    Implemented as a branchless binary search (13 steps for 8192 bins) so it
+    vectorizes on the VPU instead of per-element host searchsorted.
+    """
+    n_bins = cdf_rows.shape[-1]
+    n_steps = max(1, int(np.ceil(np.log2(n_bins))))
+    lo = jnp.zeros(u.shape, dtype=jnp.int32)
+    hi = jnp.full(u.shape, n_bins - 1, dtype=jnp.int32)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        mid_val = jnp.take_along_axis(cdf_rows, mid[..., None], axis=-1)[..., 0]
+        go_right = mid_val < u
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, n_steps, body, (lo, hi))
+    return hi
+
+
+def sample_angle(
+    key: jax.Array,
+    table: IGSO3Table,
+    sigma_idx: jax.Array,
+    sample_shape: tuple[int, ...],
+) -> jax.Array:
+    """Sample rotation angles theta for each sigma index.
+
+    sigma_idx: integer array of shape S_; returns angles of shape
+    S_ + sample_shape, each drawn from the distribution of
+    sigmas[sigma_idx[...]] — histogram branch for small sigma, folded
+    Gaussian otherwise (reference so3.py:74-96,118-125).
+    """
+    k_bin, k_jit, k_gauss = jax.random.split(key, 3)
+    out_shape = tuple(sigma_idx.shape) + tuple(sample_shape)
+    n_bins = table.n_bins
+    binsize = jnp.pi / n_bins
+
+    # --- histogram branch: inverse-CDF bin + uniform jitter within bin ---
+    cdf_rows = table.cdf[sigma_idx]  # S_ + (n_bins,)
+    # Broadcast each row over sample_shape.
+    cdf_rows = jnp.broadcast_to(
+        cdf_rows.reshape(tuple(sigma_idx.shape) + (1,) * len(sample_shape) + (n_bins,)),
+        out_shape + (n_bins,),
+    )
+    u = jax.random.uniform(k_bin, out_shape, dtype=table.cdf.dtype)
+    bin_idx = _searchsorted_rows(cdf_rows, u)
+    jitter = jax.random.uniform(k_jit, out_shape, dtype=table.cdf.dtype)
+    theta_hist = (bin_idx.astype(table.cdf.dtype) + jitter) * binsize
+
+    # --- Gaussian branch: N(2 sigma, sigma^2) folded into [0, pi) ---
+    sig = table.sigmas[sigma_idx].reshape(
+        tuple(sigma_idx.shape) + (1,) * len(sample_shape)
+    )
+    eps = jax.random.normal(k_gauss, out_shape, dtype=table.sigmas.dtype)
+    theta_gauss = jnp.mod(2.0 * sig + sig * eps, jnp.pi)
+
+    use_hist = table.use_hist[sigma_idx].reshape(
+        tuple(sigma_idx.shape) + (1,) * len(sample_shape)
+    )
+    return jnp.where(use_hist, theta_hist, theta_gauss)
+
+
+def sample_axis_angle(
+    key: jax.Array,
+    table: IGSO3Table,
+    sigma_idx: jax.Array,
+    sample_shape: tuple[int, ...],
+) -> jax.Array:
+    """Sample axis-angle rotation vectors from IGSO3(I, sigmas[sigma_idx]).
+
+    Returns shape sigma_idx.shape + sample_shape + (3,).  Matches the
+    reference's SO3.sample_isotropic_gaussian (so3.py:98-126): uniform axis
+    on S^2 times an angle from `sample_angle`.
+    """
+    k_axis, k_theta = jax.random.split(key)
+    out_shape = tuple(sigma_idx.shape) + tuple(sample_shape)
+    axis = jax.random.normal(k_axis, out_shape + (3,), dtype=table.sigmas.dtype)
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    theta = sample_angle(k_theta, table, sigma_idx, sample_shape)
+    return axis * theta[..., None]

@@ -1,0 +1,101 @@
+"""IGSO(3) table and sampler tests.
+
+Golden check of the density table against the reference torch series
+(so3.py:65-72) plus distributional sanity of the sampler.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffab_pytorch_tpu.geometry import igso3, so3
+
+
+@pytest.fixture(scope="module")
+def table():
+    # a small sigma grid spanning both branches of the sampler
+    sigmas = np.array([0.0, 0.01, 0.05, 0.09, 0.2, 0.5, 1.0])
+    return igso3.build_igso3_table(sigmas, n_bins=1024, n_terms=1024)
+
+
+def test_pdf_golden_vs_torch(table):
+    """Density values match the reference torch implementation bin-by-bin."""
+    torch = pytest.importorskip("torch")
+
+    n_bins, num_iters = 512, 1024
+    binsize = np.pi / n_bins
+    centers = np.arange(n_bins) * binsize + binsize / 2.0
+
+    for sigma in [0.05, 0.1, 0.5, 1.0]:
+        # reference formula, torch float64 (so3.py:65-72)
+        theta = torch.tensor(centers, dtype=torch.float64)
+        ls = torch.arange(num_iters, dtype=torch.float64).view(-1, 1)
+        a = (1 - torch.cos(theta)) / torch.pi
+        b = (2 * ls + 1) * torch.exp(-ls * (ls + 1) * sigma**2)
+        c = torch.sin((ls + 0.5) * theta) / torch.sin(theta / 2.0)
+        ref = (a * b * c).sum(axis=0)
+        ref = torch.nan_to_num(ref).clamp_min(0.0).numpy()
+
+        ours = igso3.igso3_angular_pdf(centers, np.array([sigma]), n_terms=num_iters)[0]
+        np.testing.assert_allclose(ours, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_table_shapes_and_normalization(table):
+    s = table.sigmas.shape[0]
+    assert table.probs.shape == (s, 1024)
+    assert table.cdf.shape == (s, 1024)
+    np.testing.assert_allclose(table.probs.sum(-1), np.ones(s), rtol=1e-5)
+    np.testing.assert_allclose(table.cdf[:, -1], np.ones(s), rtol=1e-6)
+    assert bool(table.use_hist[1]) is True  # sigma=0.01 < 0.1
+    assert bool(table.use_hist[4]) is False  # sigma=0.2 >= 0.1
+
+
+def test_sample_angle_shapes(table):
+    key = jax.random.key(0)
+    sigma_idx = jnp.array([1, 3, 5])
+    theta = igso3.sample_angle(key, table, sigma_idx, (100,))
+    assert theta.shape == (3, 100)
+    assert float(theta.min()) >= 0.0
+    assert float(theta.max()) < np.pi
+
+
+def test_sample_angle_matches_histogram_mean(table):
+    """Empirical mean of sampled angles ~ mean of the (normalized) pdf."""
+    key = jax.random.key(1)
+    for idx in [2, 3]:  # histogram branch sigmas
+        theta = igso3.sample_angle(key, table, jnp.array([idx]), (20000,))[0]
+        binsize = np.pi / table.n_bins
+        centers = (np.arange(table.n_bins) + 0.5) * binsize
+        expected = float((np.asarray(table.probs[idx]) * centers).sum())
+        assert abs(float(theta.mean()) - expected) < 0.02
+
+
+def test_larger_sigma_larger_angles(table):
+    key = jax.random.key(2)
+    theta_small = igso3.sample_angle(key, table, jnp.array([1]), (20000,))
+    theta_large = igso3.sample_angle(key, table, jnp.array([5]), (20000,))
+    assert float(theta_small.mean()) < float(theta_large.mean())
+
+
+def test_sample_axis_angle_rotations(table):
+    """Axis-angle samples convert to valid rotations; axes are uniform on S^2."""
+    key = jax.random.key(3)
+    v = igso3.sample_axis_angle(key, table, jnp.array([4, 5]), (1000,))
+    assert v.shape == (2, 1000, 3)
+
+    r = so3.vector_to_rotation_matrix(v)
+    prod = jnp.einsum("...ij,...jk->...ik", jnp.swapaxes(r, -1, -2), r)
+    np.testing.assert_allclose(prod, jnp.broadcast_to(jnp.eye(3), prod.shape), atol=1e-4)
+
+    axes = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # mean of uniform directions ~ 0
+    assert float(jnp.abs(axes.mean(axis=1)).max()) < 0.06
+
+
+def test_sampler_is_jittable(table):
+    f = jax.jit(
+        lambda key, idx: igso3.sample_axis_angle(key, table, idx, (16,))
+    )
+    out = f(jax.random.key(4), jnp.array([0, 1, 2]))
+    assert out.shape == (3, 16, 3)
