@@ -1,0 +1,116 @@
+"""Gaussian (DDPM) diffusion on C-alpha translations.
+
+TPU-native re-design of reference `diffab_pytorch/diffusion.py:195-236`
+(CoordinateDiffuser) as pure keyed functions, plus the DDPM reverse step the
+reference's sample() stub lacks (diffab_pytorch.py:770-776, SURVEY.md §3.5).
+
+Forward:  x_t = sqrt(abar_t) x_0 + sqrt(1 - abar_t) eps,  eps ~ N(0, I)
+Reverse:  mu_{t-1} = (x_t - beta_t / sqrt(1-abar_t) eps_hat) / sqrt(alpha_t)
+          sigma_{t-1}^2 = beta_tilde_t = (1 - abar_{t-1}) / (1 - abar_t) beta_t
+          (no noise at the final t=1 -> t=0 step)
+
+Context residues (generation_mask False) pass through unchanged
+(diffusion.py:230-231).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from diffab_pytorch_tpu.diffusion.schedule import DiffusionSchedule
+
+
+def diffuse_from_t0(
+    key: jax.Array,
+    sched: DiffusionSchedule,
+    translations_t0: jax.Array,
+    t: jax.Array,
+    generation_mask: jax.Array,
+    return_eps: bool = True,
+):
+    """Sample x_t ~ q(x_t | x_0).  Reference diffusion.py:199-236.
+
+    translations_t0: (..., L, 3); t: (...,); generation_mask: (..., L).
+    """
+    a = sched.alpha_bar_sqrt[t][..., None, None]
+    b = sched.one_minus_alpha_bar_sqrt[t][..., None, None]
+    eps = jax.random.normal(key, translations_t0.shape, dtype=translations_t0.dtype)
+    x_t = a * translations_t0 + b * eps
+    x_t = jnp.where(generation_mask[..., None], x_t, translations_t0)
+    return (x_t, eps) if return_eps else x_t
+
+
+def reverse_step(
+    key: jax.Array,
+    sched: DiffusionSchedule,
+    translations_t: jax.Array,
+    eps_hat: jax.Array,
+    t: jax.Array,
+    generation_mask: jax.Array,
+) -> jax.Array:
+    """One DDPM posterior step x_t -> x_{t-1} using the predicted noise.
+
+    At t == 1 the posterior variance is zero (the step lands on x_0), which
+    falls out of beta_tilde = (1 - abar_0)/(1 - abar_1) * beta_1 = 0 since
+    abar_0 = 1 — no special-casing needed inside jit.
+    """
+    beta = sched.beta[t][..., None, None]
+    alpha = sched.alpha[t][..., None, None]
+    one_minus_abar = sched.one_minus_alpha_bar_sqrt[t][..., None, None] ** 2
+    abar_prev = sched.alpha_bar[t - 1][..., None, None]
+
+    mean = (translations_t - beta / jnp.sqrt(one_minus_abar) * eps_hat) / jnp.sqrt(alpha)
+    beta_tilde = (1.0 - abar_prev) / one_minus_abar * beta
+    noise = jax.random.normal(key, translations_t.shape, dtype=translations_t.dtype)
+    x_prev = mean + jnp.sqrt(jnp.maximum(beta_tilde, 0.0)) * noise
+    return jnp.where(generation_mask[..., None], x_prev, translations_t)
+
+
+def predicted_x0(
+    sched: DiffusionSchedule,
+    translations_t: jax.Array,
+    eps_hat: jax.Array,
+    t: jax.Array,
+) -> jax.Array:
+    """Recover the implied x_0 estimate from (x_t, eps_hat) — useful for
+    metrics and for optimization-by-renoising workflows."""
+    a = sched.alpha_bar_sqrt[t][..., None, None]
+    b = sched.one_minus_alpha_bar_sqrt[t][..., None, None]
+    return (translations_t - b * eps_hat) / a
+
+
+def sample_prior(
+    key: jax.Array,
+    translations_context: jax.Array,
+    generation_mask: jax.Array,
+) -> jax.Array:
+    """x_T ~ N(0, I) on generated positions (the t -> T limit of the forward
+    process); context positions keep their coordinates."""
+    noise = jax.random.normal(
+        key, translations_context.shape, dtype=translations_context.dtype
+    )
+    return jnp.where(generation_mask[..., None], noise, translations_context)
+
+
+class CoordinateDiffuser:
+    """Thin wrapper mirroring the reference class API (diffusion.py:195-236)."""
+
+    def __init__(self, T: int, s: float = 0.01, beta_max: float = 0.999,
+                 sched: DiffusionSchedule | None = None):
+        from diffab_pytorch_tpu.diffusion.schedule import cosine_variance_schedule
+
+        self.sched = sched if sched is not None else cosine_variance_schedule(
+            T, s=s, beta_max=beta_max
+        )
+
+    def diffuse_from_t0(self, key, translations_t0, t, generation_mask,
+                        return_eps: bool = True):
+        return diffuse_from_t0(
+            key, self.sched, translations_t0, t, generation_mask, return_eps
+        )
+
+    def reverse_step(self, key, translations_t, eps_hat, t, generation_mask):
+        return reverse_step(
+            key, self.sched, translations_t, eps_hat, t, generation_mask
+        )
