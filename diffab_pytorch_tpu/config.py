@@ -1,0 +1,121 @@
+"""Frozen dataclass configuration (model / diffusion / data / train).
+
+TPU-native equivalent of the reference's scattered configuration: argparse
+flags in train.py:14-43, hardcoded hyperparameters in train.py:62-80, and
+DiffAb.__init__ defaults (diffab_pytorch.py:628-647).  One source of truth,
+hashable (usable as a jit static argument), with the reference defaults as
+the canonical preset (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from diffab_pytorch_tpu.constants import (
+    AA_VOCAB_SIZE,
+    MAX_N_ATOMS_PER_RESIDUE,
+    MAX_N_CHAINS,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Denoiser network hyperparameters.
+
+    Defaults = the reference's training configuration (train.py:62-80) with
+    DiffAb.__init__ structural defaults (diffab_pytorch.py:628-647).
+    """
+
+    d_residue_emb: int = 128
+    d_pair_emb: int = 64
+    n_ipa_layers: int = 6
+    d_scalar_per_head: int = 32
+    n_query_point_per_head: int = 8
+    n_value_point_per_head: int = 8
+    n_head: int = 8
+    use_pair_bias: bool = True
+    n_atoms: int = MAX_N_ATOMS_PER_RESIDUE
+    aa_vocab_size: int = AA_VOCAB_SIZE
+    max_n_chains: int = MAX_N_CHAINS
+    max_dist_to_consider: int = 32
+    n_residue_dihedral_funcs: int = 3  # AngularEncoding(num_funcs=3), ref :64
+    n_pair_dihedral_funcs: int = 2  # AngularEncoding(2), ref :209
+    # Computation dtype for the big matmuls (params stay float32).  bfloat16
+    # feeds the MXU at full rate; float32 is used for parity tests.
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+    """Forward/reverse process configuration (reference diffab_pytorch.py:638-640,
+    diffusion.py:254-260)."""
+
+    T: int = 100
+    s: float = 0.01
+    beta_max: float = 0.999
+    igso3_n_bins: int = 8192
+    igso3_n_terms: int = 1024
+    igso3_sigma_threshold: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Patch / featurization configuration (reference preprocess_pdb.py:16-19,
+    README.md:25)."""
+
+    patch_size: int = 128  # K nearest residues around CDR anchors
+    cdrs_to_generate: Tuple[str, ...] = ("H3",)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization configuration (reference train.py:29-36,
+    diffab_pytorch.py:644-646,925-931)."""
+
+    batch_size: int = 16
+    epochs: int = 60
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    betas: Tuple[float, float] = (0.9, 0.999)
+    grad_clip_norm: float = 0.0  # 0 disables (ref train.py:102 is broken anyway)
+    seed: int = 42
+    val_pct: float = 0.1
+    log_every: int = 50
+    checkpoint_every: int = 1000
+    checkpoint_dir: str = "checkpoints"
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffAbConfig:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    diffusion: DiffusionConfig = dataclasses.field(default_factory=DiffusionConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+def default_config() -> DiffAbConfig:
+    """The reference's full-size training preset (train.py:62-80)."""
+    return DiffAbConfig()
+
+
+def tiny_config() -> DiffAbConfig:
+    """BASELINE config #1: 2 IPA blocks, d=32 — CPU-runnable end-to-end."""
+    return DiffAbConfig(
+        model=ModelConfig(
+            d_residue_emb=32,
+            d_pair_emb=16,
+            n_ipa_layers=2,
+            d_scalar_per_head=8,
+            n_query_point_per_head=4,
+            n_value_point_per_head=4,
+            n_head=4,
+        ),
+        train=TrainConfig(batch_size=2),
+    )

@@ -1,0 +1,104 @@
+"""The per-step denoising network.
+
+TPU-native re-design of reference `diffab_pytorch/diffab_pytorch.py:501-607`
+(Denoiser): embeds the noisy sequence, fuses it with the precomputed residue
+context embedding, runs the IPA stack conditioned on the noisy frames
+(R_t, x_t), appends the beta-timestep encoding, and predicts through three
+parallel heads:
+
+  translations_eps  (b, L, 3)    — predicted Gaussian noise on x_t
+  orientations_t0   (b, L, 3, 3) — R_t composed with a predicted correction
+                                    rotation exp(v_hat)
+  seq_posterior     (b, L, K)    — softmax distribution over amino acids
+
+Divergence: the noisy-sequence embedding table is the unified vocab size
+(21) instead of the reference's unexplained 25 (diffab_pytorch.py:514,
+SURVEY.md §2.9#8).  Unlike the reference, residue_mask is actually used —
+it masks the IPA softmax (§2.9#11,#13).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from diffab_pytorch_tpu.config import ModelConfig
+from diffab_pytorch_tpu.geometry import so3
+from diffab_pytorch_tpu.models.encoding import beta_encode
+from diffab_pytorch_tpu.models.ipa import InvariantPointAttentionModule
+
+
+class _Head(nn.Module):
+    """3-layer ReLU MLP head (reference diffab_pytorch.py:533-556)."""
+
+    d_hidden: int
+    d_out: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.d_hidden, dtype=self.dtype, name="dense_0")(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.d_hidden, dtype=self.dtype, name="dense_1")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.d_out, dtype=self.dtype, name="dense_2")(x)
+
+
+class Denoiser(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        seq_idx_t: jax.Array,  # (b, L) noisy sequence
+        translations_t: jax.Array,  # (b, L, 3) noisy CA positions
+        orientations_t: jax.Array,  # (b, L, 3, 3) noisy frames
+        res_context_emb: jax.Array,  # (b, L, d)
+        pair_context_emb: jax.Array,  # (b, L, L, d_pair)
+        beta: jax.Array,  # (b,) schedule variance at t
+        generation_mask: jax.Array | None = None,  # (b, L) (unused, parity)
+        residue_mask: jax.Array | None = None,  # (b, L) masks attention
+    ) -> Dict[str, jax.Array]:
+        cfg = self.cfg
+        dt = cfg.dtype
+        d = cfg.d_residue_emb
+        b, L = seq_idx_t.shape
+
+        # fuse noisy-sequence embedding with the context embedding
+        s_emb = nn.Embed(cfg.aa_vocab_size, d, dtype=dt, name="sequence_embedding")(
+            seq_idx_t
+        )
+        res = jnp.concatenate([res_context_emb.astype(dt), s_emb], axis=-1)
+        res = nn.Dense(d, dtype=dt, name="fuse_0")(res)
+        res = nn.relu(res)
+        res = nn.Dense(d, dtype=dt, name="fuse_1")(res)
+
+        # IPA refinement conditioned on the noisy frames
+        res = InvariantPointAttentionModule(cfg, name="ipa")(
+            res, pair_context_emb, orientations_t, translations_t, residue_mask
+        )
+
+        # timestep (variance) encoding
+        t_emb = beta_encode(beta.astype(dt))  # (b, 3)
+        t_emb = jnp.broadcast_to(t_emb[:, None, :], (b, L, 3))
+        res = jnp.concatenate([res, t_emb], axis=-1)
+
+        # three parallel heads
+        translations_eps = _Head(d, 3, dt, name="coordinate_head")(res)
+
+        v_eps = _Head(d, 3, dt, name="orientation_head")(res)
+        o_eps = so3.vector_to_rotation_matrix(v_eps.astype(jnp.float32))
+        orientations_t0 = so3.compose(orientations_t.astype(jnp.float32), o_eps)
+
+        seq_logits = _Head(d, cfg.aa_vocab_size, dt, name="sequence_head")(res)
+        seq_posterior = jax.nn.softmax(seq_logits.astype(jnp.float32), axis=-1)
+
+        return {
+            "translations_eps": translations_eps.astype(jnp.float32),
+            "orientations_t0": orientations_t0,
+            "seq_posterior": seq_posterior,
+            "seq_logits": seq_logits.astype(jnp.float32),
+        }

@@ -1,0 +1,126 @@
+"""The DiffAb model: context encoding + denoising as one flax module.
+
+TPU-native re-design of the network-owning part of reference
+`diffab_pytorch/diffab_pytorch.py:628-768` (DiffAb.encode_context /
+DiffAb.denoise).  The training harness (losses, optimizer, metrics) lives in
+`train/` and the sampler in `sampling/` — the nn.Module holds parameters
+only, so it jits, shards and checkpoints as a plain pytree.
+
+Context-conditioning modes (reference :693-700; exercised by the 4-way
+parametrization of tests/test_modules.py:251-254):
+
+  generate_structure  generate_sequence  task
+  True                True               sequence-structure codesign
+  True                False              fix-sequence  (structure design)
+  False               True               fix-structure (sequence design)
+  False               False              everything visible (packing)
+
+When a modality is NOT generated, its features for ALL residues are visible
+context (mask=None); otherwise only non-generated residues are.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+
+from diffab_pytorch_tpu.config import ModelConfig
+from diffab_pytorch_tpu.data.batch import ProteinBatch
+from diffab_pytorch_tpu.models.denoiser import Denoiser
+from diffab_pytorch_tpu.models.embedding import PairEmbedding, ResidueEmbedding
+
+
+class DiffAbModel(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        self.residue_context_embedding = ResidueEmbedding(self.cfg)
+        self.pair_context_embedding = PairEmbedding(self.cfg)
+        self.denoiser = Denoiser(self.cfg)
+
+    def encode_context(
+        self,
+        batch: ProteinBatch,
+        generate_structure: bool = True,
+        generate_sequence: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Compute (res_context_emb, pair_context_emb) from t0 ground truth.
+
+        t-independent: computed once per sample and reused by every
+        denoising step (reference :680-724; SURVEY.md §3.3)."""
+        context_mask = batch.residue_mask & ~batch.generation_mask
+        structure_ctx = context_mask if generate_structure else None
+        sequence_ctx = context_mask if generate_sequence else None
+
+        res_emb = self.residue_context_embedding(
+            batch.seq_idx,
+            batch.xyz,
+            batch.orientations,
+            batch.backbone_dihedrals,
+            batch.chain_idx,
+            batch.atom_mask,
+            structure_context_mask=structure_ctx,
+            sequence_context_mask=sequence_ctx,
+        )
+        pair_emb = self.pair_context_embedding(
+            batch.seq_idx,
+            batch.xyz,
+            batch.pairwise_dihedrals,
+            batch.residue_idx,
+            batch.chain_idx,
+            batch.atom_mask,
+            structure_context_mask=structure_ctx,
+            sequence_context_mask=sequence_ctx,
+        )
+        return res_emb, pair_emb
+
+    def denoise(
+        self,
+        seq_idx_t: jax.Array,
+        translations_t: jax.Array,
+        orientations_t: jax.Array,
+        res_context_emb: jax.Array,
+        pair_context_emb: jax.Array,
+        beta: jax.Array,
+        generation_mask: jax.Array,
+        residue_mask: jax.Array,
+    ) -> Dict[str, jax.Array]:
+        """One denoising prediction at timestep t (reference :726-768)."""
+        return self.denoiser(
+            seq_idx_t,
+            translations_t,
+            orientations_t,
+            res_context_emb,
+            pair_context_emb,
+            beta,
+            generation_mask=generation_mask,
+            residue_mask=residue_mask,
+        )
+
+    def __call__(
+        self,
+        batch: ProteinBatch,
+        seq_idx_t: jax.Array,
+        translations_t: jax.Array,
+        orientations_t: jax.Array,
+        beta: jax.Array,
+        generate_structure: bool = True,
+        generate_sequence: bool = True,
+    ) -> Dict[str, jax.Array]:
+        """Full forward: encode context then denoise (used for init and as
+        the single-step training forward)."""
+        res_emb, pair_emb = self.encode_context(
+            batch, generate_structure, generate_sequence
+        )
+        return self.denoise(
+            seq_idx_t,
+            translations_t,
+            orientations_t,
+            res_emb,
+            pair_emb,
+            beta,
+            batch.generation_mask,
+            batch.residue_mask,
+        )

@@ -1,0 +1,287 @@
+"""Model-module shape and invariance contracts.
+
+Mirrors the reference tests/test_modules.py shape contracts (SURVEY.md §4),
+including the 4-way (generate_structure, generate_sequence) context-mode
+parametrization, on synthetic structures — plus SE(3)-invariance checks the
+reference lacks (the whole point of IPA) and an equivalence test of the
+|q-k|^2 matmul expansion against the naive difference-tensor formula.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffab_pytorch_tpu.config import ModelConfig, tiny_config
+from diffab_pytorch_tpu.data.batch import synthetic_batch
+from diffab_pytorch_tpu.geometry import so3
+from diffab_pytorch_tpu.models import (
+    DiffAbModel,
+    Denoiser,
+    InvariantPointAttentionLayer,
+    InvariantPointAttentionModule,
+    PairEmbedding,
+    ResidueEmbedding,
+    angular_encode,
+    angular_encoding_dim,
+    frames_apply,
+    frames_apply_inverse,
+    pairwise_sq_distances,
+)
+
+CFG = tiny_config().model
+B, L, A = 2, 32, 15
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return synthetic_batch(jax.random.key(0), B, L, A, n_generate=8)
+
+
+def test_angular_encoding_dims():
+    """Output dim d_in * (num_funcs * 4 + 1) — reference tests :16-25."""
+    for num_funcs, d_in in [(3, 3), (2, 2), (5, 7)]:
+        x = jax.random.uniform(jax.random.key(0), (B, L, d_in))
+        enc = angular_encode(x, num_funcs)
+        assert enc.shape == (B, L, angular_encoding_dim(d_in, num_funcs))
+    # identity band is the raw angle
+    x = jnp.array([[0.5, -1.0]])
+    enc = angular_encode(x, 1).reshape(1, 2, 5)
+    np.testing.assert_allclose(enc[0, :, 0], x[0])
+    np.testing.assert_allclose(enc[0, :, 1], jnp.sin(x[0]), atol=1e-7)
+
+
+def test_frames_apply_roundtrip():
+    key = jax.random.key(1)
+    rot = so3.uniform(key, (B, L))
+    trans = jax.random.normal(jax.random.key(2), (B, L, 3))
+    pts = jax.random.normal(jax.random.key(3), (B, L, 4, 5, 3))
+    glob = frames_apply(pts, rot, trans)
+    back = frames_apply_inverse(glob, rot, trans)
+    np.testing.assert_allclose(back, pts, atol=1e-5)
+
+
+def test_pairwise_sq_distances_matches_naive():
+    xyz = jax.random.normal(jax.random.key(4), (B, 8, 5, 3)) * 10
+    d2 = pairwise_sq_distances(xyz)
+    naive = jnp.sum(
+        (xyz[:, :, None, :, None, :] - xyz[:, None, :, None, :, :]) ** 2, axis=-1
+    )
+    assert d2.shape == (B, 8, 8, 5, 5)
+    np.testing.assert_allclose(d2, naive, atol=1e-3)
+
+
+class TestResidueEmbedding:
+    def test_shapes_and_modes(self, batch):
+        model = ResidueEmbedding(CFG)
+        ctx = batch.residue_mask & ~batch.generation_mask
+        for s_ctx in [None, ctx]:
+            for q_ctx in [None, ctx]:
+                out, _ = model.init_with_output(
+                    jax.random.key(0),
+                    batch.seq_idx,
+                    batch.xyz,
+                    batch.orientations,
+                    batch.backbone_dihedrals,
+                    batch.chain_idx,
+                    batch.atom_mask,
+                    structure_context_mask=s_ctx,
+                    sequence_context_mask=q_ctx,
+                )
+                assert out.shape == (B, L, CFG.d_residue_emb)
+                assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_rigid_invariance(self, batch):
+        """Features are invariant to a global rigid transform of the
+        structure (local-frame coordinates)."""
+        model = ResidueEmbedding(CFG)
+        params = model.init(
+            jax.random.key(0),
+            batch.seq_idx, batch.xyz, batch.orientations,
+            batch.backbone_dihedrals, batch.chain_idx, batch.atom_mask,
+        )
+        out1 = model.apply(
+            params, batch.seq_idx, batch.xyz, batch.orientations,
+            batch.backbone_dihedrals, batch.chain_idx, batch.atom_mask,
+        )
+        R = so3.uniform(jax.random.key(5), ())
+        t = jnp.array([3.0, -2.0, 7.0])
+        xyz2 = jnp.einsum("blac,cd->blad", batch.xyz, R) + t
+        ori2 = jnp.einsum("blic,cd->blid", batch.orientations, R)
+        out2 = model.apply(
+            params, batch.seq_idx, xyz2, ori2,
+            batch.backbone_dihedrals, batch.chain_idx, batch.atom_mask,
+        )
+        np.testing.assert_allclose(out1, out2, atol=2e-3)
+
+
+class TestPairEmbedding:
+    def test_shapes_and_modes(self, batch):
+        model = PairEmbedding(CFG)
+        ctx = batch.residue_mask & ~batch.generation_mask
+        for s_ctx in [None, ctx]:
+            out, _ = model.init_with_output(
+                jax.random.key(0),
+                batch.seq_idx,
+                batch.xyz,
+                batch.pairwise_dihedrals,
+                batch.residue_idx,
+                batch.chain_idx,
+                batch.atom_mask,
+                structure_context_mask=s_ctx,
+                sequence_context_mask=ctx,
+            )
+            assert out.shape == (B, L, L, CFG.d_pair_emb)
+            assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_invalid_pairs_zeroed(self, batch):
+        model = PairEmbedding(CFG)
+        atom_mask = batch.atom_mask.at[:, -4:, :].set(False)  # kill CA validity
+        out, _ = model.init_with_output(
+            jax.random.key(0),
+            batch.seq_idx, batch.xyz, batch.pairwise_dihedrals,
+            batch.residue_idx, batch.chain_idx, atom_mask,
+        )
+        np.testing.assert_allclose(out[:, -4:, :, :], 0.0, atol=1e-7)
+        np.testing.assert_allclose(out[:, :, -4:, :], 0.0, atol=1e-7)
+
+
+class TestIPA:
+    def _inputs(self, key):
+        ks = jax.random.split(key, 4)
+        x = jax.random.normal(ks[0], (B, L, CFG.d_residue_emb))
+        pair = jax.random.normal(ks[1], (B, L, L, CFG.d_pair_emb))
+        rot = so3.uniform(ks[2], (B, L))
+        trans = jax.random.normal(ks[3], (B, L, 3)) * 5
+        return x, pair, rot, trans
+
+    def test_layer_shape(self):
+        x, pair, rot, trans = self._inputs(jax.random.key(0))
+        layer = InvariantPointAttentionLayer(CFG)
+        out, _ = layer.init_with_output(jax.random.key(1), x, pair, rot, trans)
+        assert out.shape == (B, L, CFG.d_residue_emb)
+
+    def test_module_stacks(self):
+        x, pair, rot, trans = self._inputs(jax.random.key(2))
+        mod = InvariantPointAttentionModule(CFG)
+        out, params = mod.init_with_output(jax.random.key(3), x, pair, rot, trans)
+        assert out.shape == (B, L, CFG.d_residue_emb)
+        layer_names = [k for k in params["params"].keys()]
+        assert len(layer_names) == CFG.n_ipa_layers
+
+    def test_se3_invariance(self):
+        """IPA output is invariant under a global rigid motion of the frames
+        — the defining property (AF2 IPA); the reference never tests it."""
+        x, pair, rot, trans = self._inputs(jax.random.key(4))
+        layer = InvariantPointAttentionLayer(CFG)
+        params = layer.init(jax.random.key(5), x, pair, rot, trans)
+        out1 = layer.apply(params, x, pair, rot, trans)
+
+        Rg = so3.uniform(jax.random.key(6), ())
+        tg = jnp.array([11.0, -4.0, 2.0])
+        rot2 = jnp.einsum("blic,cd->blid", rot, Rg)
+        trans2 = jnp.einsum("blc,cd->bld", trans, Rg) + tg
+        out2 = layer.apply(params, x, pair, rot2, trans2)
+        np.testing.assert_allclose(out1, out2, atol=2e-3)
+
+    def test_point_logit_expansion_equals_naive(self):
+        """|q_i - k_j|^2 via the matmul expansion == naive difference tensor."""
+        q = jax.random.normal(jax.random.key(7), (B, L, 4, 4, 3))
+        k = jax.random.normal(jax.random.key(8), (B, L, 4, 4, 3))
+        qf = q.reshape(B, L, 4, 12)
+        kf = k.reshape(B, L, 4, 12)
+        expansion = (
+            jnp.sum(qf * qf, -1).transpose(0, 2, 1)[:, :, :, None]
+            + jnp.sum(kf * kf, -1).transpose(0, 2, 1)[:, :, None, :]
+            - 2 * jnp.einsum("bihc,bjhc->bhij", qf, kf)
+        )
+        naive = jnp.sum(
+            (q[:, :, None, :, :, :] - k[:, None, :, :, :, :]) ** 2, axis=(-1, -2)
+        ).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(expansion, naive, atol=1e-3)
+
+    def test_padding_mask_blocks_attention(self):
+        """Padded residues do not influence valid residues' outputs."""
+        x, pair, rot, trans = self._inputs(jax.random.key(9))
+        mask = jnp.ones((B, L), bool).at[:, -8:].set(False)
+        layer = InvariantPointAttentionLayer(CFG)
+        params = layer.init(jax.random.key(10), x, pair, rot, trans, mask)
+        out1 = layer.apply(params, x, pair, rot, trans, mask)
+        # scramble the padded rows entirely
+        x2 = x.at[:, -8:].set(jax.random.normal(jax.random.key(11), (B, 8, CFG.d_residue_emb)) * 50)
+        trans2 = trans.at[:, -8:].set(999.0)
+        out2 = layer.apply(params, x2, pair, rot, trans2, mask)
+        np.testing.assert_allclose(out1[:, :-8], out2[:, :-8], atol=1e-4)
+
+
+class TestDenoiser:
+    def test_output_contract(self, batch):
+        den = Denoiser(CFG)
+        beta = jnp.array([0.01, 0.4])
+        out, _ = den.init_with_output(
+            jax.random.key(0),
+            batch.seq_idx,
+            batch.translations,
+            batch.orientations,
+            jnp.zeros((B, L, CFG.d_residue_emb)),
+            jnp.zeros((B, L, L, CFG.d_pair_emb)),
+            beta,
+            generation_mask=batch.generation_mask,
+            residue_mask=batch.residue_mask,
+        )
+        assert out["translations_eps"].shape == (B, L, 3)
+        assert out["orientations_t0"].shape == (B, L, 3, 3)
+        assert out["seq_posterior"].shape == (B, L, CFG.aa_vocab_size)
+        # predicted orientations are valid rotations
+        prod = jnp.einsum("...ij,...ik->...jk", out["orientations_t0"], out["orientations_t0"])
+        np.testing.assert_allclose(prod, jnp.broadcast_to(jnp.eye(3), prod.shape), atol=1e-4)
+        # sequence posterior is a distribution
+        np.testing.assert_allclose(out["seq_posterior"].sum(-1), 1.0, rtol=1e-5)
+
+
+class TestDiffAbModel:
+    @pytest.mark.parametrize("gen_structure", [True, False])
+    @pytest.mark.parametrize("gen_sequence", [True, False])
+    def test_encode_and_denoise_modes(self, batch, gen_structure, gen_sequence):
+        """4-mode context conditioning — reference tests :251-312."""
+        model = DiffAbModel(CFG)
+        beta = jnp.array([0.01, 0.4])
+        out, params = model.init_with_output(
+            jax.random.key(0),
+            batch,
+            batch.seq_idx,
+            batch.translations,
+            batch.orientations,
+            beta,
+            generate_structure=gen_structure,
+            generate_sequence=gen_sequence,
+        )
+        assert out["translations_eps"].shape == (B, L, 3)
+        assert out["orientations_t0"].shape == (B, L, 3, 3)
+        assert out["seq_posterior"].shape == (B, L, CFG.aa_vocab_size)
+
+    def test_encode_context_shapes(self, batch):
+        model = DiffAbModel(CFG)
+        beta = jnp.array([0.01, 0.4])
+        params = model.init(
+            jax.random.key(0), batch, batch.seq_idx, batch.translations,
+            batch.orientations, beta,
+        )
+        res, pair = model.apply(params, batch, method="encode_context")
+        assert res.shape == (B, L, CFG.d_residue_emb)
+        assert pair.shape == (B, L, L, CFG.d_pair_emb)
+
+    def test_jit_forward(self, batch):
+        model = DiffAbModel(CFG)
+        beta = jnp.array([0.01, 0.4])
+        params = model.init(
+            jax.random.key(0), batch, batch.seq_idx, batch.translations,
+            batch.orientations, beta,
+        )
+        fwd = jax.jit(
+            lambda p, b: model.apply(
+                p, b, b.seq_idx, b.translations, b.orientations, beta
+            )
+        )
+        out = fwd(params, batch)
+        assert bool(jnp.all(jnp.isfinite(out["translations_eps"])))
