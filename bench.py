@@ -1,0 +1,100 @@
+"""Benchmark: CDR-H3 codesign sampling throughput (K=128, T=100).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N, ...}
+
+The headline metric is end-to-end design throughput with the DEFAULT model
+(d=128, 6 IPA layers — reference train.py:62-80): context encoded once,
+then the full T=100 reverse scan with all three reverse kernels, on one
+chip, bf16 matmul compute.  vs_baseline compares against the PyTorch
+reference driven the same way (encode + 100 denoiser forwards per sample)
+on this host's CPU, measured by bench_baseline_torch.py and cached in
+baseline_torch.json (the reference publishes no numbers of its own,
+BASELINE.md).
+"""
+
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import time
+
+import jax
+
+
+def get_baseline() -> float:
+    path = os.path.join(os.path.dirname(__file__) or ".", "baseline_torch.json")
+    if not os.path.exists(path):
+        subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".",
+                                          "bench_baseline_torch.py")],
+            check=True, capture_output=True,
+        )
+    with open(path) as f:
+        return float(json.load(f)["samples_per_sec"])
+
+
+def main():
+    import jax.numpy as jnp
+
+    from diffab_pytorch_tpu.config import default_config
+    from diffab_pytorch_tpu.data.batch import synthetic_batch
+    from diffab_pytorch_tpu.train import DiffAb
+
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16")
+    )
+    harness = DiffAb(cfg)
+
+    BSZ, L, T = 32, 128, cfg.diffusion.T
+    batch = synthetic_batch(jax.random.key(0), BSZ, L, cfg.model.n_atoms,
+                            n_generate=8)
+    state = harness.init(jax.random.key(1), batch)
+
+    sample_fn = jax.jit(lambda p, b, k: harness.sample(p, b, k))
+
+    # compile + warmup
+    t0 = time.time()
+    res = sample_fn(state.params, batch, jax.random.key(2))
+    jax.block_until_ready(res)
+    compile_s = time.time() - t0
+
+    # timed runs
+    n_iters = 3
+    t0 = time.time()
+    for i in range(n_iters):
+        res = sample_fn(state.params, batch, jax.random.key(3 + i))
+    jax.block_until_ready(res)
+    dt = time.time() - t0
+    samples_per_sec = BSZ * n_iters / dt
+
+    # secondary: train step throughput (batch 16, reference-default model)
+    train_batch = synthetic_batch(jax.random.key(4), 16, L, cfg.model.n_atoms)
+    step_fn = harness.make_train_step(donate=False)
+    s2, _ = step_fn(state, train_batch, jax.random.key(5))
+    jax.block_until_ready(s2)
+    t0 = time.time()
+    for i in range(5):
+        s2, m = step_fn(state, train_batch, jax.random.fold_in(jax.random.key(6), i))
+    jax.block_until_ready(s2)
+    train_steps_per_sec = 5 / (time.time() - t0)
+
+    baseline = get_baseline()
+    out = {
+        "metric": "CDR-H3 codesign samples/sec/chip (K=128, T=100, default model)",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(samples_per_sec / baseline, 1),
+        "baseline_torch_cpu_samples_per_sec": round(baseline, 4),
+        "train_steps_per_sec_bsz16": round(train_steps_per_sec, 3),
+        "sample_batch_size": BSZ,
+        "compile_seconds": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Design/optimization CLI: checkpoint + complex -> designed CDRs.
+
+The user-facing surface for the sampler (the reference has NO generation
+entry point — DiffAb.sample is a stub, diffab_pytorch.py:770-776).
+
+Input: either a preprocessed .npz patch (--patch) or a raw PDB with chain
+ids (--pdb/--heavy-chain-id/...; preprocessing runs inline).  Output: one
+backbone PDB per design (denormalized coordinates, designed sequence) plus
+a FASTA of designed sequences.
+
+Modes:
+  codesign (default)     sequence + structure of the chosen CDRs
+  fix-sequence           structure only
+  fix-structure          sequence only
+  --t-restart T'         optimization by partial renoising from T' < T
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from diffab_pytorch_tpu.config import default_config, tiny_config
+from diffab_pytorch_tpu.constants import AA_THREE, THREE_TO_ONE
+from diffab_pytorch_tpu.data.dataset import assemble_batch
+from diffab_pytorch_tpu.parallel import make_mesh, replicate_batch, sample_sharded
+from diffab_pytorch_tpu.structure import antibody, featurize_patch, write_pdb
+from diffab_pytorch_tpu.structure.patch import load_patch
+from diffab_pytorch_tpu.train import DiffAb
+from diffab_pytorch_tpu.train import checkpoint as ckpt_lib
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    src = p.add_argument_group("input")
+    src.add_argument("--patch", help="Preprocessed .npz patch")
+    src.add_argument("--pdb", help="Raw PDB (preprocessed inline)")
+    src.add_argument("--heavy-chain-id", default=None)
+    src.add_argument("--light-chain-id", default=None)
+    src.add_argument("-a", "--antigen-chain-ids", default=None)
+
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--cdrs", nargs="+", default=["H3"])
+    p.add_argument("-n", "--n-samples", type=int, default=8)
+    p.add_argument("--mode", choices=["codesign", "fix-sequence", "fix-structure"],
+                   default="codesign")
+    p.add_argument("--t-restart", type=int, default=None,
+                   help="Optimization: renoise to this timestep (< T)")
+    p.add_argument("-s", "--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("-o", "--out-dir", default="designs")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="Fan designs out over all local devices")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+
+    if args.patch:
+        sample_dict = load_patch(args.patch)
+    elif args.pdb:
+        complex_ = antibody.from_pdb(
+            args.pdb,
+            heavy_chain_id=args.heavy_chain_id,
+            light_chain_id=args.light_chain_id,
+            antigen_chain_ids=list(args.antigen_chain_ids or ""),
+            keep_fv_only=True,
+        )
+        sample_dict = featurize_patch(complex_)
+    else:
+        print("need --patch or --pdb")
+        return 2
+
+    batch, norm = assemble_batch([sample_dict], cdrs_to_generate=args.cdrs)
+    harness = DiffAb(tiny_config() if args.tiny else default_config())
+    state = harness.init(jax.random.key(0), batch)
+    state = ckpt_lib.restore_checkpoint(args.checkpoint_dir, state)
+    print(f"[sample] restored checkpoint at step {int(state.step)}")
+
+    fan = replicate_batch(batch, args.n_samples)
+    kwargs = dict(
+        generate_structure=args.mode != "fix-structure",
+        generate_sequence=args.mode != "fix-sequence",
+        t_start=args.t_restart,
+    )
+    key = jax.random.key(args.seed)
+    if args.data_parallel:
+        mesh = make_mesh()
+        result = sample_sharded(harness, state.params, fan, key, mesh, **kwargs)
+    else:
+        result = jax.jit(
+            lambda p, b, k: harness.sample(p, b, k, **kwargs)
+        )(state.params, fan, key)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    seqs = np.asarray(result.seq_idx)
+    xyz_ca = (
+        np.asarray(result.translations) * norm.scale
+        + np.repeat(norm.center, args.n_samples, axis=0)[:, None, :]
+    )
+    mask = np.asarray(batch.residue_mask[0])
+    gen = np.asarray(batch.generation_mask[0])
+    chain_idx = np.asarray(batch.chain_idx[0])
+    chain_letters = ["?", "H", "L"] + [chr(ord("A") + i) for i in range(7)]
+
+    fasta_lines = []
+    for i in range(args.n_samples):
+        # CA-only backbone trace of the designed complex
+        L = seqs.shape[1]
+        xyz = np.zeros((L, 15, 3), np.float32)
+        am = np.zeros((L, 15), bool)
+        xyz[:, 1] = xyz_ca[i]
+        am[:, 1] = mask
+        pdb_path = os.path.join(args.out_dir, f"design_{i:04d}.pdb")
+        write_pdb(
+            pdb_path,
+            xyz[mask],
+            am[mask],
+            seqs[i][mask],
+            [chain_letters[c] for c in chain_idx[mask]],
+            np.asarray(sample_dict["residue_number"])[mask],
+        )
+        cdr_seq = "".join(
+            THREE_TO_ONE.get(AA_THREE[s], "X") if s < 20 else "X"
+            for s in seqs[i][gen]
+        )
+        fasta_lines.append(f">design_{i:04d} cdrs={'+'.join(args.cdrs)}")
+        fasta_lines.append(cdr_seq)
+        print(f"design {i:04d}: {cdr_seq}")
+
+    with open(os.path.join(args.out_dir, "designs.fasta"), "w") as f:
+        f.write("\n".join(fasta_lines) + "\n")
+    print(f"[sample] wrote {args.n_samples} designs to {args.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,127 @@
+"""Training CLI.
+
+TPU-native equivalent of reference `python -m diffab_pytorch.train`
+(train.py:14-43 flags, :46-108 main).  Differences: trains from
+preprocessed .npz patches (run `python -m diffab_pytorch_tpu.cli.preprocess`
+first) instead of re-parsing PDBs per batch; --learning-rate actually
+reaches the optimizer (the reference parses but drops it, SURVEY.md
+§2.9#2); checkpointing and resume are explicit.
+
+Example:
+  python -m diffab_pytorch_tpu.cli.train \
+      --data-dir data/preprocessed --cdrs H3 -b 16 -e 60
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import numpy as np
+
+from diffab_pytorch_tpu.config import (
+    DiffAbConfig,
+    TrainConfig,
+    default_config,
+    tiny_config,
+)
+from diffab_pytorch_tpu.data.dataset import PatchDataset
+from diffab_pytorch_tpu.train import DiffAb
+from diffab_pytorch_tpu.train.trainer import fit
+from diffab_pytorch_tpu.utils.logging import MetricLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", required=True,
+                   help="Directory of preprocessed .npz patches")
+    p.add_argument("--cdrs", nargs="+", default=["H3"],
+                   help="CDRs to generate (subset of H1 H2 H3 L1 L2 L3)")
+    p.add_argument("--val-pct", type=float, default=0.1)
+    p.add_argument("-b", "--bsz", type=int, default=16)
+    p.add_argument("-e", "--epochs", type=int, default=60)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("-l", "--learning-rate", type=float, default=1e-4)
+    p.add_argument("--grad-clip", type=float, default=0.0)
+    p.add_argument("-s", "--seed", type=int, default=42)
+    p.add_argument("--tiny", action="store_true",
+                   help="Tiny model preset (BASELINE config #1)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (MXU-native; params stay f32)")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--csv", default=None, help="Metrics CSV path")
+    p.add_argument("--wandb", action="store_true", default=False)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="Shard the batch over all local devices")
+    return p.parse_args(argv)
+
+
+def build_config(args) -> DiffAbConfig:
+    cfg = tiny_config() if args.tiny else default_config()
+    train = TrainConfig(
+        batch_size=args.bsz,
+        epochs=args.epochs,
+        lr=args.learning_rate,
+        grad_clip_norm=args.grad_clip,
+        seed=args.seed,
+        val_pct=args.val_pct,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    cfg = dataclasses.replace(cfg, train=train)
+    if args.bf16:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16")
+        )
+    return cfg
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    cfg = build_config(args)
+
+    ds = PatchDataset.from_dir(args.data_dir, cdrs_to_generate=args.cdrs)
+    if len(ds) == 0:
+        print(f"no .npz patches under {args.data_dir}")
+        return 1
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(len(ds.paths))
+    n_val = int(len(order) * args.val_pct)
+    val_paths = [ds.paths[i] for i in order[:n_val]]
+    train_paths = [ds.paths[i] for i in order[n_val:]]
+    train_ds = PatchDataset(train_paths, cdrs_to_generate=args.cdrs)
+    val_ds = PatchDataset(val_paths, cdrs_to_generate=args.cdrs) if n_val else None
+
+    harness = DiffAb(cfg)
+    logger = MetricLogger(
+        csv_path=args.csv, use_wandb=args.wandb,
+        config=dataclasses.asdict(cfg), print_every=cfg.train.log_every,
+    )
+
+    sharding = None
+    train_step = None
+    if args.data_parallel:
+        from diffab_pytorch_tpu.parallel import make_mesh, make_dp_train_step, batch_sharding
+
+        mesh = make_mesh()
+        sharding = batch_sharding(mesh)
+        train_step = make_dp_train_step(harness, mesh)
+
+    fit(
+        harness,
+        train_ds,
+        val_ds,
+        epochs=args.epochs,
+        max_steps=args.max_steps,
+        logger=logger,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=not args.no_resume,
+        sharding=sharding,
+        train_step=train_step,
+    )
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

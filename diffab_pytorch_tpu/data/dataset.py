@@ -1,0 +1,179 @@
+"""Dataset over preprocessed .npz patches + batch assembly.
+
+TPU-native re-design of the reference data pipeline (data.py):  the
+reference's collate_fn re-parses raw PDBs with protstruc on EVERY batch in
+the dataloader workers (data.py:60-98 — the documented CPU hot spot,
+SURVEY.md §3.1) and is not connected to its own preprocessed-patch path
+(§3.2 note).  Here training reads the fixed-shape K=128 patches produced by
+`structure.patch` — static shapes, one XLA compile, mmap-fast loads — and
+batch assembly is plain numpy stacking:
+
+  * generation_mask is derived at load time from the stored per-CDR labels
+    (any cdrs_to_generate subset, reference data.py:93 semantics),
+  * pairwise (phi, psi) dihedrals are computed here from patch coordinates
+    (cheap vectorized numpy; they were 1.6 MB/sample on disk in the
+    reference, preprocess_pdb.py:72),
+  * coordinates are normalized into diffusion space: centered on the
+    context (non-generated) CA centroid and scaled by 1/COORD_SCALE so the
+    translation prior N(0, I) matches the data scale.  The reference never
+    normalized — one reason its training path was never green.  The
+    transform is recorded per-sample for exact inversion after sampling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from diffab_pytorch_tpu.constants import CDR, CDR_NAMES
+from diffab_pytorch_tpu.data.batch import ProteinBatch
+from diffab_pytorch_tpu.structure import geometry
+from diffab_pytorch_tpu.structure.patch import load_patch
+
+# Global coordinate scale (angstrom -> diffusion units).  CA coordinates in
+# a centered K=128 patch have std ~ 10 A; dividing by 10 makes the data
+# roughly unit-variance, matching the x_T ~ N(0, I) prior.
+COORD_SCALE = 10.0
+
+
+@dataclasses.dataclass
+class NormalizationInfo:
+    """Per-sample invertible coordinate transform: x_norm = (x - center)/scale."""
+
+    center: np.ndarray  # (b, 3)
+    scale: float
+
+    def denormalize(self, xyz_norm: np.ndarray) -> np.ndarray:
+        return xyz_norm * self.scale + self.center[:, None, :]
+
+
+def generation_mask_from_cdr(
+    cdr_idx: np.ndarray, cdrs_to_generate: Sequence[str]
+) -> np.ndarray:
+    bad = set(cdrs_to_generate) - set(CDR_NAMES)
+    if bad:
+        raise ValueError(f"unknown CDRs {sorted(bad)}; must be in {CDR_NAMES}")
+    wanted = np.array([int(CDR[c]) for c in cdrs_to_generate], cdr_idx.dtype)
+    return np.isin(cdr_idx, wanted)
+
+
+def assemble_batch(
+    samples: List[Dict[str, np.ndarray]],
+    cdrs_to_generate: Sequence[str] = ("H3",),
+    normalize: bool = True,
+) -> tuple[ProteinBatch, NormalizationInfo]:
+    """Stack patch dicts into a ProteinBatch (+ the coord transform)."""
+    stack = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    b, L = stack["seq_idx"].shape
+
+    gen_mask = generation_mask_from_cdr(stack["cdr_idx"], cdrs_to_generate)
+    gen_mask &= stack["residue_mask"]
+
+    xyz = stack["xyz"].astype(np.float32)
+    if normalize:
+        # center on the CONTEXT CA centroid (not the generated CDR — its
+        # coordinates are unknown at sampling time)
+        ctx = stack["residue_mask"] & ~gen_mask & stack["atom_mask"][:, :, 1]
+        w = ctx.astype(np.float32)
+        denom = np.maximum(w.sum(1), 1.0)  # (b,)
+        center = (xyz[:, :, 1, :] * w[..., None]).sum(1) / denom[:, None]
+        xyz = (xyz - center[:, None, None, :]) / COORD_SCALE
+        info = NormalizationInfo(center=center, scale=COORD_SCALE)
+    else:
+        info = NormalizationInfo(center=np.zeros((b, 3), np.float32), scale=1.0)
+    # zero out coordinates of masked atom slots (garbage-proofing)
+    xyz = np.where(stack["atom_mask"][..., None], xyz, 0.0)
+
+    pair_dihedrals = np.stack(
+        [
+            geometry.pairwise_dihedrals(xyz[i], stack["atom_mask"][i])
+            for i in range(b)
+        ]
+    )
+
+    batch = ProteinBatch(
+        xyz=xyz,
+        orientations=stack["orientations"].astype(np.float32),
+        backbone_dihedrals=stack["backbone_dihedrals"].astype(np.float32),
+        backbone_dihedrals_mask=stack["backbone_dihedrals_mask"].astype(bool),
+        pairwise_dihedrals=pair_dihedrals,
+        atom_mask=stack["atom_mask"].astype(bool),
+        seq_idx=stack["seq_idx"].astype(np.int32),
+        chain_idx=stack["chain_idx"].astype(np.int32),
+        residue_idx=stack["residue_idx"].astype(np.int32),
+        residue_mask=stack["residue_mask"].astype(bool),
+        generation_mask=gen_mask,
+    )
+    return batch, info
+
+
+class PatchDataset:
+    """Index over a directory of preprocessed .npz patches.
+
+    The counterpart of the reference's DiffAbDataset (data.py:15-57), which
+    indexes (pdb path, chain ids) and defers parsing to collate; here the
+    expensive work already happened offline."""
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        cdrs_to_generate: Sequence[str] = ("H3",),
+        require_generated: bool = True,
+    ):
+        bad = set(cdrs_to_generate) - set(CDR_NAMES)
+        if bad:
+            raise ValueError(f"unknown CDRs {sorted(bad)}; must be in {CDR_NAMES}")
+        self.paths = list(paths)
+        self.cdrs_to_generate = tuple(cdrs_to_generate)
+        self.require_generated = require_generated
+
+    @classmethod
+    def from_dir(cls, data_dir: str, **kwargs) -> "PatchDataset":
+        paths = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".npz")
+        )
+        return cls(paths, **kwargs)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        return load_patch(self.paths[i])
+
+    def batches(
+        self,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        epochs: Optional[int] = None,
+        normalize: bool = True,
+    ) -> Iterator[tuple[ProteinBatch, NormalizationInfo]]:
+        """Host-side batch iterator (the dataloader role, data.py:135-157).
+        Skips samples whose generation mask would be empty."""
+        rng = np.random.default_rng(seed)
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.arange(len(self.paths))
+            if shuffle:
+                rng.shuffle(order)
+            buf: List[Dict[str, np.ndarray]] = []
+            for i in order:
+                s = self[int(i)]
+                if self.require_generated:
+                    gm = generation_mask_from_cdr(s["cdr_idx"], self.cdrs_to_generate)
+                    if not (gm & s["residue_mask"]).any():
+                        continue
+                buf.append(s)
+                if len(buf) == batch_size:
+                    yield assemble_batch(buf, self.cdrs_to_generate, normalize)
+                    buf = []
+            if buf and not drop_last:
+                yield assemble_batch(buf, self.cdrs_to_generate, normalize)
+            epoch += 1

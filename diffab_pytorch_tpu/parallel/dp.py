@@ -1,0 +1,163 @@
+"""Data-parallel training and pod-scale sampling over the mesh.
+
+TPU-native replacement for the reference's absent distributed layer
+(SURVEY.md §2.11: reference = 1 GPU, no collectives anywhere).  Two
+mechanisms, by design:
+
+  * `make_dp_train_step`: an explicit shard_map step — per-device forward/
+    backward on the local batch shard with per-device PRNG folds, gradient
+    and metric `pmean` over the dp axis riding ICI, then a replicated
+    optimizer update.  Explicit collectives, no magic.
+  * `make_sharded_train_step` / `sample_sharded`: the GSPMD path — jit with
+    NamedShardings (batch over dp, params replicated or tp-sharded via
+    `param_sharding`) and let XLA insert collectives.  Sampling fan-out
+    (BASELINE config #5: 10k designs per target) is embarrassingly parallel
+    over dp; each device works on its batch shard with a distinct key fold.
+
+Both compose with multi-host pods: the same code runs under
+jax.distributed.initialize() with a global mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from diffab_pytorch_tpu.data.batch import ProteinBatch
+from diffab_pytorch_tpu.parallel.mesh import DP_AXIS, batch_sharding, param_sharding, replicated
+from diffab_pytorch_tpu.train.harness import DiffAb, TrainState
+
+
+def make_dp_train_step(harness: DiffAb, mesh: Mesh, donate: bool = True):
+    """Explicit shard_map data-parallel train step.
+
+    state: replicated; batch: sharded over dp (leading axis); key: replicated
+    (folded per-device).  Returns (state, metrics) replicated.
+    """
+
+    def per_device(state: TrainState, batch: ProteinBatch, key: jax.Array):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
+        grad_fn = jax.value_and_grad(
+            lambda p: harness.loss_fn(p, key, batch), has_aux=True
+        )
+        (_, metrics), grads = grad_fn(state.params)
+        # gradient all-reduce over ICI; shards weighted equally
+        grads = jax.lax.pmean(grads, DP_AXIS)
+        metrics = jax.lax.pmean(metrics, DP_AXIS)
+        updates, opt_state = harness.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, {f"train/{k}": v for k, v in metrics.items()}
+
+    mapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(DP_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped, donate_argnums=(0,) if donate else ())
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    def step(state, batch, key):
+        # accept any input placement: replicate state/key onto the mesh and
+        # shard the batch (no-ops when already placed correctly)
+        state = jax.device_put(state, rep)
+        batch = jax.device_put(batch, bsh)
+        key = jax.device_put(key, rep)
+        return jitted(state, batch, key)
+
+    return step
+
+
+def make_sharded_train_step(harness: DiffAb, mesh: Mesh, donate: bool = True):
+    """GSPMD train step: jit with sharding constraints; XLA partitions the
+    whole loss+grad+update program over (dp, tp)."""
+    bs = batch_sharding(mesh)
+
+    def step(state, batch, key):
+        batch = jax.lax.with_sharding_constraint(batch, bs)
+        return harness.train_step_impl(state, batch, key)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place a TrainState on the mesh: params (and matching opt-state
+    leaves) tp-sharded per `param_sharding`, rest replicated."""
+    p_shard = param_sharding(state.params, mesh)
+    params = jax.device_put(state.params, p_shard)
+
+    def opt_put(leaf):
+        return jax.device_put(leaf, replicated(mesh))
+
+    # Adam moments mirror the param tree structure inside optax state;
+    # map matching subtrees to the same shardings where shapes align.
+    def place_opt(opt_state):
+        def put(x):
+            return jax.device_put(x, replicated(mesh))
+
+        flat_params, treedef_p = jax.tree_util.tree_flatten(state.params)
+        flat_shard = jax.tree_util.tree_leaves(p_shard)
+        shard_by_shape = {}
+        for leaf, sh in zip(flat_params, flat_shard):
+            shard_by_shape.setdefault((leaf.shape, str(leaf.dtype)), sh)
+
+        def smart_put(x):
+            if hasattr(x, "shape"):
+                sh = shard_by_shape.get((x.shape, str(x.dtype)))
+                if sh is not None:
+                    return jax.device_put(x, sh)
+                return put(x)
+            return x
+
+        return jax.tree.map(smart_put, opt_state)
+
+    return TrainState(
+        step=jax.device_put(state.step, replicated(mesh)),
+        params=params,
+        opt_state=place_opt(state.opt_state),
+    )
+
+
+def sample_sharded(
+    harness: DiffAb,
+    params,
+    batch: ProteinBatch,
+    key: jax.Array,
+    mesh: Mesh,
+    **sample_kwargs,
+):
+    """Pod-scale design fan-out: shard the batch over dp, replicate params,
+    run the full reverse scan SPMD (BASELINE config #5).
+
+    The batch leading dim must be divisible by the dp axis size; replicate
+    one target complex into b rows for b parallel designs.
+    """
+    b = batch.batch_size
+    ndp = mesh.shape[DP_AXIS]
+    if b % ndp:
+        raise ValueError(f"batch size {b} not divisible by dp={ndp}")
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    params = jax.device_put(params, param_sharding(params, mesh))
+
+    fn = jax.jit(
+        partial(harness.sample, **sample_kwargs),
+        static_argnames=(),
+    )
+    return fn(params, batch, key)
+
+
+def replicate_batch(batch: ProteinBatch, n: int) -> ProteinBatch:
+    """Tile a 1-complex batch into n rows (n independent designs)."""
+    return jax.tree.map(lambda x: jnp.repeat(x, n, axis=0), batch)

@@ -1,0 +1,19 @@
+from diffab_pytorch_tpu.structure.pdb import (
+    Residue,
+    parse_pdb,
+    parse_pdb_file,
+    write_pdb,
+)
+from diffab_pytorch_tpu.structure.antibody import (
+    AntibodyComplex,
+    from_chains,
+    from_pdb,
+)
+from diffab_pytorch_tpu.structure.patch import (
+    PATCH_KEYS,
+    extract_patch_mask,
+    featurize_patch,
+    load_patch,
+    save_patch,
+)
+from diffab_pytorch_tpu.structure import geometry

@@ -1,0 +1,53 @@
+"""Checkpoint save/restore via orbax.
+
+TPU-native equivalent of the reference's (implicit, Lightning-default)
+checkpointing (SURVEY.md §5.4): explicit TrainState save/restore with
+retention, resumable mid-run.  Diffusion schedule and IGSO(3) tables are
+NOT checkpointed — they are recomputed deterministically at init (unlike
+the reference's hash-keyed .pt cache, so3.py:18-50)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from diffab_pytorch_tpu.train.harness import TrainState
+
+
+def _manager(directory: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True
+        ),
+    )
+
+
+def save_checkpoint(directory: str, state: TrainState, *, wait: bool = True) -> int:
+    step = int(state.step)
+    mgr = _manager(directory)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    if wait:
+        mgr.wait_until_finished()
+    return step
+
+
+def latest_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    return _manager(directory).latest_step()
+
+
+def restore_checkpoint(
+    directory: str, template: TrainState, step: Optional[int] = None
+) -> TrainState:
+    """Restore into the structure of `template` (an initialized TrainState)."""
+    mgr = _manager(directory)
+    step = mgr.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found under {directory}")
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    return mgr.restore(step, args=ocp.args.StandardRestore(abstract))

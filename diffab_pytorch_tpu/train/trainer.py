@@ -1,0 +1,108 @@
+"""The training loop: data -> jitted steps -> metrics -> checkpoints.
+
+TPU-native equivalent of the reference's `pl.Trainer(...).fit(model, dm)`
+(train.py:98-108) without the framework: an explicit loop over prefetched
+device batches, periodic validation (check_val_every_n_epoch=1 semantics),
+CSV/stdout metrics with the reference's names, orbax checkpointing with
+resume.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from diffab_pytorch_tpu.data.dataset import PatchDataset
+from diffab_pytorch_tpu.data.loader import PrefetchLoader
+from diffab_pytorch_tpu.train import checkpoint as ckpt_lib
+from diffab_pytorch_tpu.train.harness import DiffAb, TrainState
+from diffab_pytorch_tpu.utils.logging import MetricLogger
+
+
+def fit(
+    harness: DiffAb,
+    train_ds: PatchDataset,
+    val_ds: Optional[PatchDataset] = None,
+    *,
+    epochs: Optional[int] = None,
+    max_steps: Optional[int] = None,
+    seed: Optional[int] = None,
+    logger: Optional[MetricLogger] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = True,
+    sharding: Optional[jax.sharding.Sharding] = None,
+    train_step=None,
+) -> TrainState:
+    """Run training; returns the final TrainState.
+
+    `train_step` may be injected (e.g. the shard_map data-parallel step from
+    `parallel/`); defaults to the single-device jitted step.
+    """
+    cfg = harness.config.train
+    seed = cfg.seed if seed is None else seed
+    epochs = cfg.epochs if epochs is None else epochs
+    logger = logger or MetricLogger(print_every=cfg.log_every)
+
+    key = jax.random.key(seed)
+    batches = train_ds.batches(
+        batch_size=cfg.batch_size, shuffle=True, seed=seed, epochs=epochs
+    )
+    loader = PrefetchLoader(batches, sharding=sharding)
+
+    first_batch, _ = next(iter(loader))
+    k_init, key = jax.random.split(key)
+    state = harness.init(k_init, first_batch)
+    if checkpoint_dir and resume and ckpt_lib.latest_step(checkpoint_dir) is not None:
+        state = ckpt_lib.restore_checkpoint(checkpoint_dir, state)
+        print(f"[trainer] resumed from step {int(state.step)}")
+
+    step_fn = train_step or harness.make_train_step()
+    eval_fn = harness.make_eval_step()
+
+    steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+    t_last = time.time()
+
+    def run_eval(params, key):
+        if val_ds is None:
+            return
+        ms = []
+        for vb, _ in val_ds.batches(
+            batch_size=cfg.batch_size, shuffle=False, epochs=1, drop_last=False
+        ):
+            key, k = jax.random.split(key)
+            ms.append(eval_fn(params, jax.device_put(vb, sharding), k))
+        if ms:
+            agg = {
+                k2: float(np.mean([float(m[k2]) for m in ms])) for k2 in ms[0]
+            }
+            logger.log(int(state.step), agg)
+
+    def handle(batch, key):
+        nonlocal state, t_last
+        key, k = jax.random.split(key)
+        state, metrics = step_fn(state, batch, k)
+        step = int(state.step)
+        if step % cfg.log_every == 0:
+            now = time.time()
+            metrics = dict(metrics)
+            metrics["steps_per_sec"] = cfg.log_every / max(now - t_last, 1e-9)
+            t_last = now
+            logger.log(step, metrics)
+        if checkpoint_dir and step % cfg.checkpoint_every == 0:
+            ckpt_lib.save_checkpoint(checkpoint_dir, state)
+        if step % steps_per_epoch == 0:
+            run_eval(state.params, key)
+        return key
+
+    key = handle(first_batch, key)
+    for batch, _ in loader:
+        if max_steps is not None and int(state.step) >= max_steps:
+            break
+        key = handle(batch, key)
+
+    if checkpoint_dir:
+        ckpt_lib.save_checkpoint(checkpoint_dir, state)
+    return state

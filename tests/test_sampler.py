@@ -1,0 +1,116 @@
+"""Reverse-sampler contracts: shapes, clamping, modes, t-restart.
+
+The reference has no sampler to mirror (diffab_pytorch.py:770-776 is a
+stub); these tests pin the semantics our design derives from the forward
+processes (SURVEY.md §3.5).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffab_pytorch_tpu.config import tiny_config
+from diffab_pytorch_tpu.data.batch import synthetic_batch
+from diffab_pytorch_tpu.sampling import optimize, sample
+from diffab_pytorch_tpu.train import DiffAb
+
+B, L = 2, 32
+
+
+@pytest.fixture(scope="module")
+def harness():
+    return DiffAb(tiny_config())
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return synthetic_batch(jax.random.key(0), B, L, 15, n_generate=8)
+
+
+@pytest.fixture(scope="module")
+def params(harness, batch):
+    return harness.init(jax.random.key(1), batch).params
+
+
+def test_codesign_shapes_and_clamping(harness, batch, params):
+    res = harness.sample(params, batch, jax.random.key(2))
+    assert res.seq_idx.shape == (B, L)
+    assert res.translations.shape == (B, L, 3)
+    assert res.orientations.shape == (B, L, 3, 3)
+
+    ctx = ~batch.generation_mask
+    # context residues keep their input values exactly
+    assert bool(jnp.all(res.seq_idx[ctx] == batch.seq_idx[ctx]))
+    np.testing.assert_allclose(
+        res.translations[ctx], batch.translations[ctx], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        res.orientations[ctx], batch.orientations[ctx], atol=1e-6
+    )
+    # generated residues actually changed
+    gen = batch.generation_mask
+    assert int((res.seq_idx[gen] != batch.seq_idx[gen]).sum()) > 0
+    assert float(jnp.abs(res.translations[gen] - batch.translations[gen]).max()) > 0.01
+    # orientations remain valid rotations
+    prod = jnp.einsum("...ij,...ik->...jk", res.orientations, res.orientations)
+    np.testing.assert_allclose(prod, jnp.broadcast_to(jnp.eye(3), prod.shape), atol=1e-3)
+
+
+def test_fix_sequence_mode(harness, batch, params):
+    """generate_sequence=False: sequence untouched everywhere, structure
+    resampled on CDRs."""
+    res = harness.sample(
+        params, batch, jax.random.key(3), generate_sequence=False
+    )
+    assert bool(jnp.all(res.seq_idx == batch.seq_idx))
+    gen = batch.generation_mask
+    assert float(jnp.abs(res.translations[gen] - batch.translations[gen]).max()) > 0.01
+
+
+def test_fix_structure_mode(harness, batch, params):
+    res = harness.sample(
+        params, batch, jax.random.key(4), generate_structure=False
+    )
+    np.testing.assert_allclose(res.translations, batch.translations, atol=1e-6)
+    np.testing.assert_allclose(res.orientations, batch.orientations, atol=1e-6)
+    gen = batch.generation_mask
+    assert int((res.seq_idx[gen] != batch.seq_idx[gen]).sum()) > 0
+
+
+def test_optimize_t_restart(harness, batch, params):
+    """Renoising to small t stays close to the input; large t diverges more
+    (BASELINE config #4 semantics)."""
+    m = harness.model
+    res_small = optimize(
+        m, params, harness.sched, harness.orientation_tables, batch,
+        jax.random.key(5), t_restart=5,
+    )
+    res_large = optimize(
+        m, params, harness.sched, harness.orientation_tables, batch,
+        jax.random.key(5), t_restart=95,
+    )
+    gen = batch.generation_mask
+    d_small = float(jnp.abs(res_small.translations[gen] - batch.translations[gen]).mean())
+    d_large = float(jnp.abs(res_large.translations[gen] - batch.translations[gen]).mean())
+    assert d_small < d_large
+
+
+def test_sampler_jits_and_is_deterministic(harness, batch, params):
+    f = jax.jit(lambda p, b, k: harness.sample(p, b, k))
+    r1 = f(params, batch, jax.random.key(6))
+    r2 = f(params, batch, jax.random.key(6))
+    assert bool(jnp.all(r1.seq_idx == r2.seq_idx))
+    np.testing.assert_allclose(r1.translations, r2.translations, atol=0)
+    r3 = f(params, batch, jax.random.key(7))
+    assert int((r3.seq_idx != r1.seq_idx).sum()) > 0  # different key, different design
+
+
+def test_invalid_args(harness, batch, params):
+    with pytest.raises(ValueError, match="t_start"):
+        harness.sample(params, batch, jax.random.key(8), t_start=0)
+    with pytest.raises(ValueError, match="nothing to generate"):
+        harness.sample(
+            params, batch, jax.random.key(9),
+            generate_structure=False, generate_sequence=False,
+        )
