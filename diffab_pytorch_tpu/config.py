@@ -46,6 +46,10 @@ class ModelConfig:
     # Computation dtype for the big matmuls (params stay float32).  bfloat16
     # feeds the MXU at full rate; float32 is used for parity tests.
     compute_dtype: str = "float32"
+    # Fused Pallas attention core (ops/ipa_pallas.py): one VMEM-resident
+    # kernel for logits+softmax+reductions.  Forward-path acceleration
+    # (sampling); backward differentiates the identical jnp math.
+    use_pallas_attention: bool = False
 
     @property
     def dtype(self):

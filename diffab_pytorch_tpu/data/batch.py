@@ -35,7 +35,7 @@ class ProteinBatch:
     orientations: jax.Array  # (b, L, 3, 3) float — backbone frames
     backbone_dihedrals: jax.Array  # (b, L, 3) float — phi, psi, omega
     backbone_dihedrals_mask: jax.Array  # (b, L, 3) bool
-    pairwise_dihedrals: jax.Array  # (b, L, L, 2) float — inter-residue phi/psi
+    pairwise_dihedrals: jax.Array | None  # (b, L, L, 2) or None (derived in-model)
     atom_mask: jax.Array  # (b, L, A) bool
     seq_idx: jax.Array  # (b, L) int32 — amino-acid types
     chain_idx: jax.Array  # (b, L) int32 — 0 = padding

@@ -64,6 +64,7 @@ def assemble_batch(
     samples: List[Dict[str, np.ndarray]],
     cdrs_to_generate: Sequence[str] = ("H3",),
     normalize: bool = True,
+    host_pairwise_dihedrals: bool = False,
 ) -> tuple[ProteinBatch, NormalizationInfo]:
     """Stack patch dicts into a ProteinBatch (+ the coord transform)."""
     stack = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
@@ -87,12 +88,19 @@ def assemble_batch(
     # zero out coordinates of masked atom slots (garbage-proofing)
     xyz = np.where(stack["atom_mask"][..., None], xyz, 0.0)
 
-    pair_dihedrals = np.stack(
-        [
-            geometry.pairwise_dihedrals(xyz[i], stack["atom_mask"][i])
-            for i in range(b)
-        ]
-    )
+    # By default the O(L^2) inter-residue dihedrals are derived on device
+    # inside PairEmbedding (models/embedding.py) — the host only stacks
+    # arrays.  host_pairwise_dihedrals=True computes them here instead
+    # (numpy), for cross-checks against the in-model path.
+    if host_pairwise_dihedrals:
+        pair_dihedrals = np.stack(
+            [
+                geometry.pairwise_dihedrals(xyz[i], stack["atom_mask"][i])
+                for i in range(b)
+            ]
+        )
+    else:
+        pair_dihedrals = None
 
     batch = ProteinBatch(
         xyz=xyz,

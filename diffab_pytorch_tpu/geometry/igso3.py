@@ -129,7 +129,11 @@ def build_igso3_table(
 def _searchsorted_rows(cdf_rows: jax.Array, u: jax.Array) -> jax.Array:
     """Vectorized inverse-CDF lookup.
 
-    cdf_rows: (..., n_bins) — a CDF per element.
+    cdf_rows: (..., n_bins) — a CDF per element; leading dims may be
+              SINGLETON and broadcast against u (take_along_axis broadcasts,
+              so the table is never materialized at u's full shape — a
+              (b, L, 8192) broadcast costs 134 MB per reverse step otherwise,
+              the dominant reverse-kernel cost on the profiler trace).
     u:        (...,) uniform variates in [0, 1).
     Returns the smallest bin index with cdf >= u, as (...,) int32.
 
@@ -173,11 +177,9 @@ def sample_angle(
     binsize = jnp.pi / n_bins
 
     # --- histogram branch: inverse-CDF bin + uniform jitter within bin ---
-    cdf_rows = table.cdf[sigma_idx]  # S_ + (n_bins,)
-    # Broadcast each row over sample_shape.
-    cdf_rows = jnp.broadcast_to(
-        cdf_rows.reshape(tuple(sigma_idx.shape) + (1,) * len(sample_shape) + (n_bins,)),
-        out_shape + (n_bins,),
+    # rows stay at singleton sample dims; take_along_axis broadcasts
+    cdf_rows = table.cdf[sigma_idx].reshape(
+        tuple(sigma_idx.shape) + (1,) * len(sample_shape) + (n_bins,)
     )
     u = jax.random.uniform(k_bin, out_shape, dtype=table.cdf.dtype)
     bin_idx = _searchsorted_rows(cdf_rows, u)

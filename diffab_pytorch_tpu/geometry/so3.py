@@ -34,6 +34,18 @@ def tensor_trace(m: jax.Array) -> jax.Array:
     return jnp.trace(m, axis1=-2, axis2=-1)
 
 
+def mat3_mul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched 3x3 matrix product.
+
+    NOTE: plain (b, L, 3, 3) dot_generals lower fine on TPU; only
+    contractions with EXTRA broadcast dims between batch and the 3-vector
+    (like IPA's per-head point transforms) degenerate into slow convs and
+    need unrolling (see models/ipa.py frames_apply).  Benchmarked: the
+    unrolled elementwise form is ~9% slower end-to-end here, so this stays
+    a dot."""
+    return a @ b
+
+
 def hat(v: jax.Array) -> jax.Array:
     """Vector (..., 3) -> skew-symmetric matrix (..., 3, 3).
 

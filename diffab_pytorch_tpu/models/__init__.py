@@ -6,6 +6,7 @@ from diffab_pytorch_tpu.models.encoding import (
 from diffab_pytorch_tpu.models.embedding import (
     PairEmbedding,
     ResidueEmbedding,
+    pairwise_dihedrals_from_xyz,
     pairwise_sq_distances,
 )
 from diffab_pytorch_tpu.models.ipa import (

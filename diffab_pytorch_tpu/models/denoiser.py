@@ -61,6 +61,7 @@ class Denoiser(nn.Module):
         beta: jax.Array,  # (b,) schedule variance at t
         generation_mask: jax.Array | None = None,  # (b, L) (unused, parity)
         residue_mask: jax.Array | None = None,  # (b, L) masks attention
+        pair_biases: list | None = None,  # precomputed per-layer (b,h,L,L)
     ) -> Dict[str, jax.Array]:
         cfg = self.cfg
         dt = cfg.dtype
@@ -78,7 +79,8 @@ class Denoiser(nn.Module):
 
         # IPA refinement conditioned on the noisy frames
         res = InvariantPointAttentionModule(cfg, name="ipa")(
-            res, pair_context_emb, orientations_t, translations_t, residue_mask
+            res, pair_context_emb, orientations_t, translations_t, residue_mask,
+            pair_biases=pair_biases,
         )
 
         # timestep (variance) encoding

@@ -63,6 +63,7 @@ class DiffAbModel(nn.Module):
             batch.atom_mask,
             structure_context_mask=structure_ctx,
             sequence_context_mask=sequence_ctx,
+            dihedrals_mask=batch.backbone_dihedrals_mask,
         )
         pair_emb = self.pair_context_embedding(
             batch.seq_idx,
@@ -86,8 +87,12 @@ class DiffAbModel(nn.Module):
         beta: jax.Array,
         generation_mask: jax.Array,
         residue_mask: jax.Array,
+        pair_biases: list | None = None,
     ) -> Dict[str, jax.Array]:
-        """One denoising prediction at timestep t (reference :726-768)."""
+        """One denoising prediction at timestep t (reference :726-768).
+        pair_biases: optional per-layer precomputed bias logits
+        (models.ipa.precompute_pair_biases) — t-independent, hoisted out of
+        sampling loops."""
         return self.denoiser(
             seq_idx_t,
             translations_t,
@@ -97,6 +102,7 @@ class DiffAbModel(nn.Module):
             beta,
             generation_mask=generation_mask,
             residue_mask=residue_mask,
+            pair_biases=pair_biases,
         )
 
     def __call__(

@@ -72,6 +72,7 @@ class ResidueEmbedding(nn.Module):
         atom_mask: jax.Array,  # (b, L, A)
         structure_context_mask: jax.Array | None = None,  # (b, L)
         sequence_context_mask: jax.Array | None = None,  # (b, L)
+        dihedrals_mask: jax.Array | None = None,  # (b, L, 3)
     ) -> jax.Array:
         cfg = self.cfg
         dt = cfg.dtype
@@ -90,8 +91,15 @@ class ResidueEmbedding(nn.Module):
         # atoms; the one-hot scatter (b, L, vocab, A, 3) lets the MLP learn
         # per-type atom geometry (reference :119-155).  The scatter is a
         # broadcast product that XLA fuses into the consuming matmul.
-        rel = xyz - xyz[:, :, ATOM.CA : ATOM.CA + 1, :]
-        local = jnp.einsum("blai,blji->blaj", rel.astype(dt), orientations.astype(dt))
+        rel = (xyz - xyz[:, :, ATOM.CA : ATOM.CA + 1, :]).astype(dt)
+        # local[a, j] = sum_i rel[a, i] O[j, i] — unrolled over the 3-wide
+        # contraction (einsum form lowers to a degenerate conv on TPU)
+        o = orientations.astype(dt)[:, :, None, :, :]  # (b, L, 1, 3, 3)
+        local = (
+            rel[..., 0:1] * o[..., :, 0]
+            + rel[..., 1:2] * o[..., :, 1]
+            + rel[..., 2:3] * o[..., :, 2]
+        )
         # where, not multiply: garbage (even NaN/inf) in masked atom slots
         # must not poison valid features via NaN * 0 = NaN
         local = jnp.where(atom_mask[..., None], local, 0.0)
@@ -108,6 +116,16 @@ class ResidueEmbedding(nn.Module):
         dihedral_feat = angular_encode(
             dihedrals.astype(dt), cfg.n_residue_dihedral_funcs
         )
+        if dihedrals_mask is not None:
+            # invalid angles (chain termini, missing atoms) must contribute
+            # zero features, not the encoding of a fake 0.0 angle — the
+            # reference ignores its own dihedral validity mask (data.py:86)
+            enc_mask = jnp.repeat(
+                dihedrals_mask.astype(dt),
+                dihedral_feat.shape[-1] // dihedrals.shape[-1],
+                axis=-1,
+            )
+            dihedral_feat *= enc_mask
         if structure_context_mask is not None:
             m = structure_context_mask
             pad = jnp.zeros_like(m[:, :1])
@@ -132,6 +150,40 @@ class ResidueEmbedding(nn.Module):
         x = nn.relu(x)
         x = nn.Dense(d, dtype=dt, name="mlp_3")(x)
         return x
+
+
+def pairwise_dihedrals_from_xyz(xyz: jax.Array, dtype=None) -> jax.Array:
+    """Inter-residue (phi-like, psi-like) dihedrals (b, L, L, 2) from
+    all-atom coordinates, on device.
+
+    phi-like[i, j] = dihedral(C_i, N_j, CA_j, C_j)
+    psi-like[i, j] = dihedral(N_i, CA_i, C_i, N_j)
+
+    Same math as structure.geometry.pairwise_dihedrals (praxeolitic, host
+    numpy) — derived in-model so the host pipeline only stacks arrays (the
+    reference computes this on the CPU dataloader path per batch,
+    data.py:78-80, its hot spot; on a TPU the O(L^2) trig is noise).
+    """
+    if dtype is not None:
+        xyz = xyz.astype(dtype)
+    n, ca, c = xyz[:, :, 0], xyz[:, :, 1], xyz[:, :, 2]  # (b, L, 3)
+
+    def dihedral(p0, p1, p2, p3):
+        b0 = p0 - p1
+        b1 = p2 - p1
+        b1 = b1 / jnp.maximum(jnp.linalg.norm(b1, axis=-1, keepdims=True), 1e-8)
+        b2 = p3 - p2
+        v = b0 - jnp.sum(b0 * b1, axis=-1, keepdims=True) * b1
+        w = b2 - jnp.sum(b2 * b1, axis=-1, keepdims=True) * b1
+        x = jnp.sum(v * w, axis=-1)
+        y = jnp.sum(jnp.cross(b1, v) * w, axis=-1)
+        return jnp.arctan2(y, x)
+
+    bi = lambda t: t[:, :, None, :]  # residue i along rows
+    bj = lambda t: t[:, None, :, :]  # residue j along cols
+    phi = dihedral(bi(c), bj(n), bj(ca), bj(c))
+    psi = dihedral(bi(n), bi(ca), bi(c), bj(n))
+    return jnp.stack([phi, psi], axis=-1)
 
 
 def pairwise_sq_distances(xyz: jax.Array, dtype=None) -> jax.Array:
@@ -172,7 +224,7 @@ class PairEmbedding(nn.Module):
         self,
         seq_idx: jax.Array,  # (b, L)
         xyz: jax.Array,  # (b, L, A, 3) — distances derived internally
-        pairwise_dihedrals: jax.Array,  # (b, L, L, 2)
+        pairwise_dihedrals: jax.Array | None,  # (b, L, L, 2); None -> derived
         residue_idx: jax.Array,  # (b, L)
         chain_idx: jax.Array,  # (b, L)
         atom_mask: jax.Array,  # (b, L, A)
@@ -233,7 +285,14 @@ class PairEmbedding(nn.Module):
         dist_feat = nn.Dense(d, dtype=dt, name="distance_mlp_1")(dist_feat)
         dist_feat = nn.relu(dist_feat)
 
-        # (d) inter-residue dihedral encoding
+        # (d) inter-residue dihedral encoding (derived on device when the
+        # batch does not carry precomputed angles)
+        if pairwise_dihedrals is None:
+            bb_ok = atom_mask[:, :, 0] & atom_mask[:, :, 1] & atom_mask[:, :, 2]
+            pair_ok = bb_ok[:, :, None] & bb_ok[:, None, :]
+            pairwise_dihedrals = jnp.where(
+                pair_ok[..., None], pairwise_dihedrals_from_xyz(xyz, dtype=dt), 0.0
+            )
         dihedral_feat = angular_encode(
             pairwise_dihedrals.astype(dt), cfg.n_pair_dihedral_funcs
         )

@@ -41,20 +41,39 @@ def frames_apply(points: jax.Array, rot: jax.Array, trans: jax.Array) -> jax.Arr
     euclidean_transform, diffab_pytorch.py:315-324).
 
     points: (b, L, ..., 3); rot: (b, L, 3, 3); trans: (b, L, 3).
+
+    The 3-wide contraction is UNROLLED into multiply-adds on purpose: as an
+    einsum/dot_general with broadcast batch dims, XLA emits it as a
+    degenerate convolution costing ~0.45 ms per call on v5e (profiler-
+    verified — it was the single largest cost in the sampler); unrolled it
+    is a fused elementwise op costing microseconds.
     """
     extra = points.ndim - rot.ndim + 1  # dims between L and the coord dim
     r = rot.reshape(rot.shape[:2] + (1,) * extra + (3, 3))
     t = trans.reshape(trans.shape[:2] + (1,) * extra + (3,))
-    return jnp.einsum("...i,...ij->...j", points, r) + t
+    # out_j = sum_i p_i R[i, j]  ->  sum of p_i * (row i of R)
+    return (
+        points[..., 0:1] * r[..., 0, :]
+        + points[..., 1:2] * r[..., 1, :]
+        + points[..., 2:3] * r[..., 2, :]
+        + t
+    )
 
 
 def frames_apply_inverse(points: jax.Array, rot: jax.Array, trans: jax.Array) -> jax.Array:
     """Global -> local: (x - t) @ R^T (reference
-    inverse_euclidean_transform, diffab_pytorch.py:327-336)."""
+    inverse_euclidean_transform, diffab_pytorch.py:327-336).  Unrolled for
+    the same reason as frames_apply."""
     extra = points.ndim - rot.ndim + 1
     r = rot.reshape(rot.shape[:2] + (1,) * extra + (3, 3))
     t = trans.reshape(trans.shape[:2] + (1,) * extra + (3,))
-    return jnp.einsum("...i,...ji->...j", points - t, r)
+    d = points - t
+    # out_j = sum_i d_i R[j, i]  ->  sum of d_i * (column i of R)
+    return (
+        d[..., 0:1] * r[..., :, 0]
+        + d[..., 1:2] * r[..., :, 1]
+        + d[..., 2:3] * r[..., :, 2]
+    )
 
 
 class InvariantPointAttentionLayer(nn.Module):
@@ -71,6 +90,7 @@ class InvariantPointAttentionLayer(nn.Module):
         rot: jax.Array,  # (b, L, 3, 3)
         trans: jax.Array,  # (b, L, 3)
         residue_mask: jax.Array | None = None,  # (b, L)
+        pair_bias: jax.Array | None = None,  # (b, h, L, L) precomputed
     ) -> jax.Array:
         cfg = self.cfg
         dt = cfg.dtype
@@ -91,18 +111,11 @@ class InvariantPointAttentionLayer(nn.Module):
             x = jnp.where(residue_mask[..., None], x, 0.0)
         dense = lambda n_out, name: nn.Dense(n_out, use_bias=False, dtype=dt, name=name)
 
-        # ---- scalar attention ----------------------------------------
+        # ---- projections ---------------------------------------------
         q_s = dense(h * ds, "to_q_scalar")(x).reshape(b, L, h, ds)
         k_s = dense(h * ds, "to_k_scalar")(x).reshape(b, L, h, ds)
         v_s = dense(h * ds, "to_v_scalar")(x).reshape(b, L, h, ds)
-        logit_scalar = jnp.einsum("bihd,bjhd->bhij", q_s, k_s) * (ds**-0.5)
 
-        # ---- pair bias -----------------------------------------------
-        if cfg.use_pair_bias:
-            bias_pair = dense(h, "to_pair_bias")(pair.astype(dt))  # (b, L, L, h)
-            bias_pair = jnp.moveaxis(bias_pair, -1, 1)  # (b, h, L, L)
-
-        # ---- point attention -----------------------------------------
         q_p = dense(h * pq * 3, "to_q_point")(x).reshape(b, L, h, pq, 3)
         k_p = dense(h * pq * 3, "to_k_point")(x).reshape(b, L, h, pq, 3)
         v_p = dense(h * pv * 3, "to_v_point")(x).reshape(b, L, h, pv, 3)
@@ -110,19 +123,6 @@ class InvariantPointAttentionLayer(nn.Module):
         q_p = frames_apply(q_p, rot.astype(dt), trans.astype(dt))
         k_p = frames_apply(k_p, rot.astype(dt), trans.astype(dt))
         v_p = frames_apply(v_p, rot.astype(dt), trans.astype(dt))
-
-        # |q_i - k_j|^2 summed over points/coords, via the expansion:
-        # one MXU matmul + rank-1 corrections (no (L, L, P, 3) tensor).
-        qf = q_p.reshape(b, L, h, pq * 3)
-        kf = k_p.reshape(b, L, h, pq * 3)
-        cross = jnp.einsum("bihc,bjhc->bhij", qf, kf)
-        q_sq = jnp.sum(qf * qf, axis=-1)  # (b, L, h)
-        k_sq = jnp.sum(kf * kf, axis=-1)
-        sq_dist = (
-            q_sq.transpose(0, 2, 1)[:, :, :, None]
-            + k_sq.transpose(0, 2, 1)[:, :, None, :]
-            - 2.0 * cross
-        )  # (b, h, i, j)
 
         # learned per-head weight, softplus-activated (AF2 convention; the
         # reference stores softplus^-1(1) but applies it raw — §2.9#10)
@@ -132,33 +132,106 @@ class InvariantPointAttentionLayer(nn.Module):
             (h,),
         )
         gamma = jax.nn.softplus(gamma_raw.astype(dt))
+        scale_scalar = ds**-0.5
         scale_point = (4.5 * pq) ** -0.5
-        logit_point = -0.5 * scale_point * gamma[None, :, None, None] * sq_dist
-
-        # ---- combine, mask, softmax ----------------------------------
         n_logits = 3 if cfg.use_pair_bias else 2
-        logit = logit_scalar + logit_point
+        scale_total = n_logits**-0.5
+
         if cfg.use_pair_bias:
-            logit = logit + bias_pair
-        logit = logit * (n_logits**-0.5)
+            bias_dense = dense(h, "to_pair_bias")
+            if pair_bias is not None:
+                # precomputed (scan-invariant, hoisted out of the sampler
+                # loop); still touch the Dense so the param tree stays
+                # identical: eye @ W just materializes the kernel
+                bias_dense(jnp.eye(cfg.d_pair_emb, dtype=dt))
+                bias_pair = pair_bias.astype(dt)
+            else:
+                bias_pair = jnp.moveaxis(
+                    bias_dense(pair.astype(dt)), -1, 1
+                )  # (b, h, L, L)
 
-        if residue_mask is not None:
-            # mask padded keys out of the softmax (divergence from the
-            # reference, which attends to padding — §2.9#11)
-            logit = jnp.where(residue_mask[:, None, None, :], logit, _NEG_INF)
-        attn = jax.nn.softmax(logit, axis=-1)  # (b, h, i, j)
+        use_pallas = (
+            cfg.use_pallas_attention and cfg.use_pair_bias and pq == pv
+        )
+        if use_pallas:
+            from diffab_pytorch_tpu.ops.ipa_pallas import fused_ipa_attention
 
-        # ---- outputs --------------------------------------------------
-        out_scalar = jnp.einsum("bhij,bjhd->bihd", attn, v_s).reshape(b, L, h * ds)
+            mask = (
+                residue_mask.astype(dt)
+                if residue_mask is not None
+                else jnp.ones((b, L), dt)
+            )
+            out_s, out_pair_o, out_point = fused_ipa_attention(
+                q_s, k_s, v_s, q_p, k_p, v_p, pair.astype(dt), bias_pair,
+                gamma, mask, scale_scalar, scale_point, scale_total,
+            )
+            outs = [out_s.reshape(b, L, h * ds), out_pair_o.reshape(b, L, -1)]
+        else:
+            # logits as explicit (b, h)-batched MXU matmuls on transposed
+            # operands — einsums with the head dim between the batch and
+            # contraction dims lower to bandwidth-bound multiply+reduce
+            # fusions (O(L^2 d) re-reads; ~half of sampling time on v5e)
+            bh_dot = lambda a, c: jax.lax.dot_general(
+                jnp.swapaxes(a, 1, 2), jnp.swapaxes(c, 1, 2),
+                dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+            )  # (b, h, L, L)
+            logit_scalar = bh_dot(q_s, k_s) * scale_scalar
 
-        outs = [out_scalar]
-        if cfg.use_pair_bias:
-            out_pair = jnp.einsum("bhij,bijd->bihd", attn, pair.astype(dt))
-            outs.append(out_pair.reshape(b, L, -1))
+            # |q_i - k_j|^2 summed over points/coords, via the expansion:
+            # one MXU matmul + rank-1 corrections (no (L, L, P, 3) tensor).
+            qf = q_p.reshape(b, L, h, pq * 3)
+            kf = k_p.reshape(b, L, h, pq * 3)
+            cross = bh_dot(qf, kf)
+            q_sq = jnp.sum(qf * qf, axis=-1)  # (b, L, h)
+            k_sq = jnp.sum(kf * kf, axis=-1)
+            sq_dist = (
+                q_sq.transpose(0, 2, 1)[:, :, :, None]
+                + k_sq.transpose(0, 2, 1)[:, :, None, :]
+                - 2.0 * cross
+            )  # (b, h, i, j)
+            logit_point = -0.5 * scale_point * gamma[None, :, None, None] * sq_dist
 
-        out_point = jnp.einsum(
-            "bhij,bjhpc->bihpc", attn, v_p
-        )  # (b, L, h, pv, 3), global frame
+            logit = logit_scalar + logit_point
+            if cfg.use_pair_bias:
+                logit = logit + bias_pair
+            logit = logit * scale_total
+
+            if residue_mask is not None:
+                # mask padded keys out of the softmax (divergence from the
+                # reference, which attends to padding — §2.9#11)
+                logit = jnp.where(residue_mask[:, None, None, :], logit, _NEG_INF)
+            attn = jax.nn.softmax(logit, axis=-1)  # (b, h, i, j)
+
+            # Attention-weighted sums as EXPLICIT batched dot_generals with
+            # contiguous layouts.  Left as einsums with awkward operand
+            # orders, XLA lowers these to multiply+reduce fusions that
+            # re-read the pair tensor once per head (~40% of sampling time
+            # on v5e, per profiler trace) instead of MXU matmuls.
+            v_s_t = jnp.swapaxes(v_s, 1, 2)  # (b, h, L, ds)
+            out_scalar = jax.lax.dot_general(
+                attn, v_s_t,
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            )  # (b, h, L, ds)
+            out_scalar = jnp.swapaxes(out_scalar, 1, 2).reshape(b, L, h * ds)
+
+            outs = [out_scalar]
+            if cfg.use_pair_bias:
+                # batched over (b, i): (h, j) @ (j, dp) — reads pair ONCE
+                attn_bi = jnp.swapaxes(attn, 1, 2)  # (b, i, h, j)
+                out_pair = jax.lax.dot_general(
+                    attn_bi, pair.astype(dt),
+                    dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                )  # (b, i, h, dp)
+                outs.append(out_pair.reshape(b, L, -1))
+
+            v_p_t = jnp.swapaxes(v_p, 1, 2).reshape(b, h, L, pv * 3)
+            out_point = jax.lax.dot_general(
+                attn, v_p_t,
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+            )  # (b, h, L, pv*3)
+            out_point = jnp.swapaxes(out_point, 1, 2).reshape(
+                b, L, h, pv, 3
+            )  # global frame
         out_point = frames_apply_inverse(out_point, rot.astype(dt), trans.astype(dt))
         # safe norm: sqrt at 0 has an infinite gradient
         out_point_norm = jnp.sqrt(jnp.sum(out_point**2, axis=-1) + 1e-8)
@@ -177,9 +250,27 @@ class InvariantPointAttentionModule(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, res_emb, pair_emb, rot, trans, residue_mask=None):
+    def __call__(self, res_emb, pair_emb, rot, trans, residue_mask=None,
+                 pair_biases=None):
         for i in range(self.cfg.n_ipa_layers):
             res_emb = InvariantPointAttentionLayer(self.cfg, name=f"layer_{i}")(
-                res_emb, pair_emb, rot, trans, residue_mask
+                res_emb, pair_emb, rot, trans, residue_mask,
+                pair_bias=None if pair_biases is None else pair_biases[i],
             )
         return res_emb
+
+
+def precompute_pair_biases(ipa_params: dict, pair_emb: jax.Array) -> list:
+    """Pair-bias logits for every IPA layer, computed once from the
+    t-independent pair embedding — hoisted out of the sampler T-step scan
+    (the reference recomputes this 6 layers x 100 steps per design,
+    diffab_pytorch.py:421-423).
+
+    ipa_params: the IPA module param subtree
+    (params["params"]["denoiser"]["ipa"]).  Returns [(b, h, L, L), ...]."""
+    n_layers = len([k for k in ipa_params if k.startswith("layer_")])
+    biases = []
+    for i in range(n_layers):
+        w = ipa_params[f"layer_{i}"]["to_pair_bias"]["kernel"]  # (dp, h)
+        biases.append(jnp.einsum("bijd,dh->bhij", pair_emb, w))
+    return biases

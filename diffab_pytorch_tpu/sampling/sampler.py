@@ -79,13 +79,20 @@ def sample(
     seq_gen = gen if generate_sequence else jnp.zeros_like(gen)
     struct_gen = gen if generate_structure else jnp.zeros_like(gen)
 
-    # 1. context encoding, once
+    # 1. context encoding, once — including the per-layer pair-bias logits,
+    # which are t-independent (hoisted out of the scan; the reference
+    # recomputes them every denoiser call, diffab_pytorch.py:421-423)
     res_emb, pair_emb = model.apply(
         params,
         batch,
         generate_structure=generate_structure,
         generate_sequence=generate_sequence,
         method="encode_context",
+    )
+    from diffab_pytorch_tpu.models.ipa import precompute_pair_biases
+
+    pair_biases = precompute_pair_biases(
+        params["params"]["denoiser"]["ipa"], pair_emb
     )
 
     # 2. initialization
@@ -125,6 +132,7 @@ def sample(
             beta,
             gen,
             batch.residue_mask,
+            pair_biases=pair_biases,
             method="denoise",
         )
 

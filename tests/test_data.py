@@ -72,7 +72,8 @@ def test_dataset_batches(patch_dir):
     batch, info = next(ds.batches(batch_size=2, seed=0, epochs=1))
     assert batch.seq_idx.shape == (2, 96)
     assert batch.xyz.shape == (2, 96, 15, 3)
-    assert batch.pairwise_dihedrals.shape == (2, 96, 96, 2)
+    # pairwise dihedrals are derived in-model by default
+    assert batch.pairwise_dihedrals is None
     assert batch.generation_mask.any()
     # H3 only: 95-102 inclusive = 8 residues per sample
     assert int(batch.generation_mask.sum()) == 2 * 8
@@ -116,6 +117,25 @@ def test_assemble_batch_garbage_proofing(patch_dir):
     mask = np.asarray(batch.atom_mask)
     assert np.all(xyz[~mask] == 0.0)
     assert np.isfinite(xyz).all()
+
+
+def test_pairwise_dihedrals_device_matches_host(patch_dir):
+    """The in-model jnp derivation equals the host numpy featurization."""
+    import jax.numpy as jnp
+
+    from diffab_pytorch_tpu.models import pairwise_dihedrals_from_xyz
+
+    ds = PatchDataset.from_dir(patch_dir)
+    host_batch, _ = assemble_batch([ds[0], ds[1]], host_pairwise_dihedrals=True)
+    derived = np.asarray(
+        pairwise_dihedrals_from_xyz(jnp.asarray(host_batch.xyz))
+    )
+    bb_ok = np.asarray(host_batch.atom_mask)[:, :, :3].all(-1)
+    pair_ok = bb_ok[:, :, None] & bb_ok[:, None, :]
+    np.testing.assert_allclose(
+        derived[pair_ok], np.asarray(host_batch.pairwise_dihedrals)[pair_ok],
+        atol=2e-3,
+    )
 
 
 def test_prefetch_loader(patch_dir):

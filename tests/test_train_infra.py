@@ -1,0 +1,139 @@
+"""Training-infrastructure tests: checkpoint round-trip, metric logging,
+debug checking, trainer fit loop on synthetic patches."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffab_pytorch_tpu.config import tiny_config
+from diffab_pytorch_tpu.data.batch import synthetic_batch
+from diffab_pytorch_tpu.train import DiffAb
+from diffab_pytorch_tpu.train import checkpoint as ckpt
+from diffab_pytorch_tpu.utils.debug import assert_all_finite, checked_fn
+from diffab_pytorch_tpu.utils.logging import MetricLogger
+
+
+@pytest.fixture(scope="module")
+def harness():
+    return DiffAb(tiny_config())
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return synthetic_batch(jax.random.key(0), 2, 32, 15, n_generate=8)
+
+
+def test_checkpoint_roundtrip(harness, batch, tmp_path):
+    state = harness.init(jax.random.key(1), batch)
+    step = harness.make_train_step(donate=False)
+    state, _ = step(state, batch, jax.random.key(2))
+
+    d = str(tmp_path / "ckpt")
+    saved_step = ckpt.save_checkpoint(d, state)
+    assert saved_step == 1
+    assert ckpt.latest_step(d) == 1
+
+    template = harness.init(jax.random.key(3), batch)  # different params
+    restored = ckpt.restore_checkpoint(d, template)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restoring from an empty dir raises cleanly
+    with pytest.raises(FileNotFoundError):
+        ckpt.restore_checkpoint(str(tmp_path / "nope"), template)
+
+
+def test_checkpoint_retention(harness, batch, tmp_path):
+    state = harness.init(jax.random.key(4), batch)
+    step = harness.make_train_step(donate=False)
+    d = str(tmp_path / "ckpt2")
+    for i in range(5):
+        state, _ = step(state, batch, jax.random.key(5 + i))
+        ckpt.save_checkpoint(d, state)
+    assert ckpt.latest_step(d) == 5
+    kept = sorted(int(x) for x in os.listdir(d) if x.isdigit())
+    assert len(kept) <= 3  # max_to_keep
+
+
+def test_metric_logger_csv(tmp_path):
+    import io
+
+    path = str(tmp_path / "m.csv")
+    buf = io.StringIO()
+    logger = MetricLogger(csv_path=path, print_every=2, file=buf)
+    logger.log(1, {"train/loss": jnp.float32(2.5)})
+    logger.log(2, {"train/loss": jnp.float32(2.0)})
+    logger.close()
+
+    lines = open(path).read().strip().splitlines()
+    assert lines[0].startswith("step,wall_time")
+    assert len(lines) == 3
+    assert "2.0" in lines[2]
+    assert "[step 2]" in buf.getvalue()
+    assert "[step 1]" not in buf.getvalue()  # print_every=2
+
+
+def test_checked_fn_catches_nan():
+    f = checked_fn(lambda x: jnp.log(x).sum())
+    assert np.isfinite(float(f(jnp.ones(3))))
+    with pytest.raises(Exception, match="nan"):
+        f(jnp.array([-1.0, 1.0, 2.0]))
+
+
+def test_assert_all_finite():
+    assert_all_finite({"a": jnp.ones(3)})
+    with pytest.raises(FloatingPointError, match="bad"):
+        assert_all_finite({"bad": jnp.array([jnp.nan])}, name="bad")
+
+
+def test_fit_loop_smoke(tmp_path):
+    """trainer.fit over real .npz patches: runs, checkpoints, logs."""
+    import dataclasses
+
+    from diffab_pytorch_tpu.config import TrainConfig
+    from diffab_pytorch_tpu.data.dataset import PatchDataset
+    from diffab_pytorch_tpu.structure import antibody, featurize_patch, parse_pdb, save_patch
+    from diffab_pytorch_tpu.structure.testing import make_synthetic_antibody_pdb
+    from diffab_pytorch_tpu.train.trainer import fit
+    from diffab_pytorch_tpu.utils.logging import MetricLogger
+
+    pdir = tmp_path / "patches"
+    pdir.mkdir()
+    for i in range(4):
+        c = antibody.from_chains(
+            parse_pdb(make_synthetic_antibody_pdb(seed=i)), "H", "L", ["A"],
+            keep_fv_only=True,
+        )
+        save_patch(str(pdir / f"s{i}.npz"), featurize_patch(c, patch_size=48))
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        train=TrainConfig(batch_size=2, log_every=2, checkpoint_every=3, seed=0),
+    )
+    harness = DiffAb(cfg)
+    ds = PatchDataset.from_dir(str(pdir))
+    csv = str(tmp_path / "metrics.csv")
+    state = fit(
+        harness, ds, None,
+        epochs=4, max_steps=6,
+        logger=MetricLogger(csv_path=csv, print_every=0),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    assert int(state.step) >= 6
+    assert ckpt.latest_step(str(tmp_path / "ck")) == int(state.step)
+    assert os.path.exists(csv)
+
+    # resume continues from the saved step
+    state2 = fit(
+        harness, ds, None,
+        epochs=4, max_steps=8,
+        logger=MetricLogger(print_every=0),
+        checkpoint_dir=str(tmp_path / "ck"),
+        resume=True,
+    )
+    assert int(state2.step) >= 8
