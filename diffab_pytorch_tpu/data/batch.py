@@ -70,13 +70,20 @@ def synthetic_batch(
     dtype=jnp.float32,
 ) -> ProteinBatch:
     """Random but internally consistent batch for tests and benchmarks
-    (orthonormal frames, CA at slot 1, contiguous generation window)."""
+    (orthonormal frames, CA at slot 1, contiguous generation window).
+
+    Coordinates are UNIT-SCALE, matching what the data pipeline feeds the
+    model (real patches are centered and divided by COORD_SCALE so the
+    x_T ~ N(0, I) prior matches the data, data/dataset.py) — the reverse
+    process diverges on un-normalized coordinates."""
     from diffab_pytorch_tpu.geometry import so3
 
     ks = jax.random.split(key, 6)
     orientations = so3.uniform(ks[0], (batch_size, n_residues), dtype=dtype)
-    ca = jax.random.normal(ks[1], (batch_size, n_residues, 1, 3), dtype) * 10.0
-    offsets = jax.random.normal(ks[2], (batch_size, n_residues, n_atoms, 3), dtype)
+    ca = jax.random.normal(ks[1], (batch_size, n_residues, 1, 3), dtype) * 1.2
+    offsets = (
+        jax.random.normal(ks[2], (batch_size, n_residues, n_atoms, 3), dtype) * 0.15
+    )
     xyz = ca + offsets
 
     seq_idx = jax.random.randint(ks[3], (batch_size, n_residues), 0, vocab_size - 1)

@@ -193,6 +193,12 @@ def pairwise_sq_distances(xyz: jax.Array, dtype=None) -> jax.Array:
     |x|^2 + |y|^2 - 2 x.y expansion so the cross term is one (L A, 3) x
     (3, L A) matmul on the MXU instead of an (L, L, A, A, 3) difference
     tensor in HBM.
+
+    Numerical precondition: coordinates must be CENTERED (as the data layer
+    guarantees, data/dataset.py) — the expansion cancels catastrophically
+    in f32 when |x| >> pair distances (raw PDB coordinates ~1e2 A give
+    ~1% relative error on short distances; centered unit-scale coords are
+    exact to f32 rounding).
     """
     b, L, A, _ = xyz.shape
     x = xyz.reshape(b, L * A, 3)

@@ -41,6 +41,9 @@ def make_dp_train_step(harness: DiffAb, mesh: Mesh, donate: bool = True):
     """
 
     def per_device(state: TrainState, batch: ProteinBatch, key: jax.Array):
+        # fold step + device index inside the jit (same base key every call
+        # is fine — see harness.train_step_impl)
+        key = jax.random.fold_in(key, state.step)
         key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
         grad_fn = jax.value_and_grad(
             lambda p: harness.loss_fn(p, key, batch), has_aux=True

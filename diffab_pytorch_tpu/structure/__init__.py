@@ -6,6 +6,8 @@ from diffab_pytorch_tpu.structure.pdb import (
 )
 from diffab_pytorch_tpu.structure.antibody import (
     AntibodyComplex,
+    fetch_pdb,
+    from_arrays,
     from_chains,
     from_pdb,
 )

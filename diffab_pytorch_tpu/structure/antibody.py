@@ -101,6 +101,9 @@ class AntibodyComplex:
     def pairwise_dihedrals(self) -> np.ndarray:
         return geometry.pairwise_dihedrals(self.xyz, self.atom_mask)
 
+    def pairwise_distance_matrix(self):
+        return geometry.pairwise_distance_matrix(self.xyz, self.atom_mask)
+
     def residue_masked_select(self, mask: np.ndarray) -> "AntibodyComplex":
         idx = np.nonzero(mask)[0]
         return AntibodyComplex(
@@ -200,6 +203,64 @@ def from_chains(
             out.cdr_idx[i] = _cdr_label(role, r.resseq)
             out.anchor_mask[i] = _is_anchor(role, r.resseq)
     return out
+
+
+def from_arrays(
+    xyz: np.ndarray,  # (L, A, 3)
+    atom_mask: np.ndarray,  # (L, A)
+    seq_idx: np.ndarray,  # (L,)
+    chain_idx: np.ndarray,  # (L,)
+    residue_number: Optional[np.ndarray] = None,  # (L,) author numbering
+) -> AntibodyComplex:
+    """Construct a complex directly from arrays (protstruc
+    StructureBatch.from_xyz parity, SURVEY.md §2.7; reference
+    tests/test_modules.py:37,87).  CDR labels/anchors are derived from
+    residue_number for chains 1 (heavy) and 2 (light) when provided."""
+    L = xyz.shape[0]
+    if residue_number is None:
+        residue_number = np.arange(1, L + 1, dtype=np.int32)
+    chain_idx = np.asarray(chain_idx, np.int32)
+    residue_idx = np.zeros(L, np.int32)
+    for c in np.unique(chain_idx):
+        sel = chain_idx == c
+        residue_idx[sel] = np.arange(int(sel.sum()), dtype=np.int32)
+    cdr_idx = np.zeros(L, np.int8)
+    anchor = np.zeros(L, bool)
+    for i in range(L):
+        role = {HEAVY_CHAIN_IDX: "H", LIGHT_CHAIN_IDX: "L"}.get(int(chain_idx[i]))
+        if role:
+            cdr_idx[i] = _cdr_label(role, int(residue_number[i]))
+            anchor[i] = _is_anchor(role, int(residue_number[i]))
+    return AntibodyComplex(
+        xyz=np.asarray(xyz, np.float32),
+        atom_mask=np.asarray(atom_mask, bool),
+        seq_idx=np.asarray(seq_idx, np.int32),
+        chain_idx=chain_idx,
+        residue_idx=residue_idx,
+        residue_number=np.asarray(residue_number, np.int32),
+        cdr_idx=cdr_idx,
+        anchor_mask=anchor,
+        chain_ids=[str(c) for c in chain_idx],
+    )
+
+
+def fetch_pdb(pdb_id: str, timeout: float = 30.0) -> str:
+    """Download PDB text from RCSB (protstruc from_pdb_id parity,
+    reference tests/test_modules.py:274,334).  Requires network egress —
+    raises a clear error in air-gapped environments."""
+    import urllib.error
+    import urllib.request
+
+    url = f"https://files.rcsb.org/download/{pdb_id.lower()}.pdb"
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r:
+            return r.read().decode()
+    except (urllib.error.URLError, OSError) as e:
+        raise ConnectionError(
+            f"cannot fetch {pdb_id!r} from RCSB ({e}); this environment may "
+            "have no network egress — download the file manually and use "
+            "from_pdb()"
+        ) from e
 
 
 def from_pdb(

@@ -133,3 +133,21 @@ def pairwise_dihedrals(xyz: np.ndarray, atom_mask: np.ndarray) -> np.ndarray:
     bb_ok = atom_mask[:, 0] & atom_mask[:, 1] & atom_mask[:, 2]
     pair_ok = bb_ok[:, None] & bb_ok[None, :]
     return np.where(pair_ok[..., None], out, 0.0)
+
+
+def pairwise_distance_matrix(
+    xyz: np.ndarray, atom_mask: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """All-atom inter-residue distances (L, L, A, A) + validity mask.
+
+    protstruc pairwise_distance_matrix parity (SURVEY.md §2.7; reference
+    data.py:76, tests/test_modules.py:102-116).  Host-side/offline only —
+    the training path derives squared distances in-model
+    (models.embedding.pairwise_sq_distances) and never materializes this.
+    """
+    L, A, _ = xyz.shape
+    flat = xyz.reshape(L * A, 3)
+    d = np.linalg.norm(flat[:, None, :] - flat[None, :, :], axis=-1)
+    d = d.reshape(L, A, L, A).transpose(0, 2, 1, 3)
+    mask = (atom_mask[:, None, :, None] & atom_mask[None, :, None, :])
+    return d.astype(np.float32), mask

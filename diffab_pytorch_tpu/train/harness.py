@@ -196,7 +196,13 @@ class DiffAb:
         self, state: TrainState, batch: ProteinBatch, key: jax.Array
     ):
         """The pure (unjitted) train step — also the body the parallel
-        layer partitions with GSPMD."""
+        layer partitions with GSPMD.
+
+        The key is folded with state.step INSIDE the jit: callers can pass
+        the same base key every step (distinct randomness per step, zero
+        per-step host-side key ops — on tunneled/remote backends each host
+        key op costs a dispatch round-trip that dominated the step time)."""
+        key = jax.random.fold_in(key, state.step)
         grad_fn = jax.value_and_grad(
             lambda p: self.loss_fn(p, key, batch), has_aux=True
         )

@@ -82,8 +82,9 @@ def fit(
 
     def handle(batch, key):
         nonlocal state, t_last
-        key, k = jax.random.split(key)
-        state, metrics = step_fn(state, batch, k)
+        # the step folds (key, state.step) internally; passing the same base
+        # key avoids per-step host key ops (expensive on remote backends)
+        state, metrics = step_fn(state, batch, key)
         step = int(state.step)
         if step % cfg.log_every == 0:
             now = time.time()
