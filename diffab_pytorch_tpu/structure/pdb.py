@@ -50,8 +50,18 @@ class Residue:
         return AA_INDEX.get(self.resname, int(AA.UNK))
 
 
-def parse_pdb(text: str) -> Dict[str, List[Residue]]:
-    """Parse PDB text into {chain_id: [Residue, ...]} in file order."""
+def parse_pdb(text: str, prefer_native: bool = True) -> Dict[str, List[Residue]]:
+    """Parse PDB text into {chain_id: [Residue, ...]} in file order.
+
+    Uses the native C++ parser (structure/native.py) when its library is
+    available and prefer_native is set; this function remains the semantic
+    reference and the fallback."""
+    if prefer_native:
+        from diffab_pytorch_tpu.structure import native
+
+        parsed = native.parse_pdb_native(text)
+        if parsed is not None:
+            return parsed
     chains: Dict[str, List[Residue]] = {}
     current: Dict[str, tuple] = {}  # chain -> (resseq, icode)
     buffers: Dict[str, Residue] = {}
@@ -116,9 +126,11 @@ def parse_pdb(text: str) -> Dict[str, List[Residue]]:
     return chains
 
 
-def parse_pdb_file(path: str) -> Dict[str, List[Residue]]:
+def parse_pdb_file(
+    path: str, prefer_native: bool = True
+) -> Dict[str, List[Residue]]:
     with open(path) as f:
-        return parse_pdb(f.read())
+        return parse_pdb(f.read(), prefer_native=prefer_native)
 
 
 def write_pdb(
