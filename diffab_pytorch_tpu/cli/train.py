@@ -54,6 +54,9 @@ def parse_args(argv=None):
     p.add_argument("--wandb", action="store_true", default=False)
     p.add_argument("--data-parallel", action="store_true",
                    help="Shard the batch over all local devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="Initialize jax.distributed for a multi-host pod "
+                        "(coordinator/process env per JAX conventions)")
     return p.parse_args(argv)
 
 
@@ -78,6 +81,12 @@ def build_config(args) -> DiffAbConfig:
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+        print(f"[train] multihost: process {jax.process_index()} of "
+              f"{jax.process_count()}, {jax.device_count()} global devices")
     cfg = build_config(args)
 
     ds = PatchDataset.from_dir(args.data_dir, cdrs_to_generate=args.cdrs)

@@ -50,6 +50,11 @@ class ModelConfig:
     # kernel for logits+softmax+reductions.  Forward-path acceleration
     # (sampling); backward differentiates the identical jnp math.
     use_pallas_attention: bool = False
+    # Rematerialize IPA layers in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward for not storing per-layer activations —
+    # enables much larger training batches (HBM is the binding constraint
+    # at b >= 64 with the (b, L, L, A^2) distance features).
+    remat_ipa: bool = False
 
     @property
     def dtype(self):

@@ -252,10 +252,15 @@ class InvariantPointAttentionModule(nn.Module):
     @nn.compact
     def __call__(self, res_emb, pair_emb, rot, trans, residue_mask=None,
                  pair_biases=None):
+        layer_cls = InvariantPointAttentionLayer
+        if self.cfg.remat_ipa:
+            layer_cls = nn.remat(
+                InvariantPointAttentionLayer, static_argnums=()
+            )
         for i in range(self.cfg.n_ipa_layers):
-            res_emb = InvariantPointAttentionLayer(self.cfg, name=f"layer_{i}")(
+            res_emb = layer_cls(self.cfg, name=f"layer_{i}")(
                 res_emb, pair_emb, rot, trans, residue_mask,
-                pair_bias=None if pair_biases is None else pair_biases[i],
+                None if pair_biases is None else pair_biases[i],
             )
         return res_emb
 

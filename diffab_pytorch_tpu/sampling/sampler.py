@@ -41,11 +41,15 @@ from diffab_pytorch_tpu.models.diffab import DiffAbModel
 @flax.struct.dataclass
 class SampleResult:
     """Designed sequence + backbone for every residue (context residues keep
-    their input values)."""
+    their input values).  When sampled with return_trajectory=True, the
+    trajectory fields hold the state AFTER each reverse step, ordered
+    t = t_start-1 ... 0 (shape (T, b, ...)); otherwise None."""
 
     seq_idx: jax.Array  # (b, L)
     translations: jax.Array  # (b, L, 3)
     orientations: jax.Array  # (b, L, 3, 3)
+    seq_trajectory: jax.Array | None = None  # (T, b, L)
+    translations_trajectory: jax.Array | None = None  # (T, b, L, 3)
 
 
 def sample(
@@ -59,6 +63,7 @@ def sample(
     generate_structure: bool = True,
     generate_sequence: bool = True,
     t_start: Optional[int] = None,
+    return_trajectory: bool = False,
 ) -> SampleResult:
     """Run the full reverse loop.  jit-compatible (flags and t_start are
     Python-static).
@@ -66,6 +71,8 @@ def sample(
     t_start = None or T: generation from the prior.
     1 <= t_start < T:    optimization — renoise the input CDRs to t_start
                          and denoise back (t-restart).
+    return_trajectory:   also record per-step sequence and CA positions
+                         (diffusion-path visualization / debugging).
     """
     T = sched.T
     t_start = T if t_start is None else int(t_start)
@@ -147,13 +154,20 @@ def sample(
         r_next = orientation.reverse_step(
             k3, tables, r_t, denoised["orientations_t0"], tvec, struct_gen
         )
-        return (seq_next, x_next, r_next), None
+        ys = (seq_next, x_next) if return_trajectory else None
+        return (seq_next, x_next, r_next), ys
 
-    (seq_0, x_0, r_0), _ = jax.lax.scan(
+    (seq_0, x_0, r_0), ys = jax.lax.scan(
         body, (seq_t, x_t, r_t), jnp.arange(t_start, 0, -1)
     )
 
-    return SampleResult(seq_idx=seq_0, translations=x_0, orientations=r_0)
+    return SampleResult(
+        seq_idx=seq_0,
+        translations=x_0,
+        orientations=r_0,
+        seq_trajectory=ys[0] if return_trajectory else None,
+        translations_trajectory=ys[1] if return_trajectory else None,
+    )
 
 
 def optimize(

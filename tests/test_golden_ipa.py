@@ -145,3 +145,23 @@ def test_ipa_param_structure_matches_transplant():
         "to_q_point", "to_k_point", "to_v_point", "gamma", "to_out",
     }
     assert set(params["params"].keys()) == expected
+
+
+def test_orientation_loss_golden():
+    """Our orientation discrepancy (x9 per-residue sum) matches the
+    reference OrientationLoss elementwise semantics (diffab_pytorch.py:610-625)."""
+    _install_reference()
+    from diffab_pytorch.diffab_pytorch import OrientationLoss
+
+    from diffab_pytorch_tpu.geometry import so3
+    from diffab_pytorch_tpu.train.losses import orientation_discrepancy
+
+    pred = np.asarray(so3.uniform(jax.random.key(30), (2, 6)))
+    target = np.asarray(so3.uniform(jax.random.key(31), (2, 6)))
+    ref = OrientationLoss(reduction="none")(
+        torch.tensor(pred), torch.tensor(target)
+    ).numpy()  # (b, L, 3, 3) elementwise squares
+    ours = np.asarray(
+        9.0 * orientation_discrepancy(jnp.asarray(pred), jnp.asarray(target))
+    )
+    np.testing.assert_allclose(ours, ref.sum((-1, -2)), atol=1e-5)

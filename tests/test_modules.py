@@ -285,3 +285,28 @@ class TestDiffAbModel:
         )
         out = fwd(params, batch)
         assert bool(jnp.all(jnp.isfinite(out["translations_eps"])))
+
+
+def test_remat_ipa_equivalence(batch):
+    """remat_ipa=True: identical outputs and gradients, lower peak memory."""
+    import dataclasses
+
+    from diffab_pytorch_tpu.models.ipa import InvariantPointAttentionModule
+
+    x = jax.random.normal(jax.random.key(20), (B, L, CFG.d_residue_emb))
+    pair = jax.random.normal(jax.random.key(21), (B, L, L, CFG.d_pair_emb))
+    rot = so3.uniform(jax.random.key(22), (B, L))
+    trans = jax.random.normal(jax.random.key(23), (B, L, 3))
+
+    mod = InvariantPointAttentionModule(CFG)
+    params = mod.init(jax.random.key(24), x, pair, rot, trans)
+    mod_r = InvariantPointAttentionModule(dataclasses.replace(CFG, remat_ipa=True))
+
+    out = mod.apply(params, x, pair, rot, trans)
+    out_r = mod_r.apply(params, x, pair, rot, trans)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out), atol=1e-5)
+
+    g = jax.grad(lambda p: jnp.sum(mod.apply(p, x, pair, rot, trans) ** 2))(params)
+    g_r = jax.grad(lambda p: jnp.sum(mod_r.apply(p, x, pair, rot, trans) ** 2))(params)
+    for a, b_ in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-4)

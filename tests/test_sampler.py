@@ -114,3 +114,16 @@ def test_invalid_args(harness, batch, params):
             params, batch, jax.random.key(9),
             generate_structure=False, generate_sequence=False,
         )
+
+
+def test_return_trajectory(harness, batch, params):
+    res = harness.sample(params, batch, jax.random.key(11),
+                         return_trajectory=True, t_start=10)
+    assert res.seq_trajectory.shape == (10, B, L)
+    assert res.translations_trajectory.shape == (10, B, L, 3)
+    # last trajectory frame == final result
+    np.testing.assert_array_equal(res.seq_trajectory[-1], res.seq_idx)
+    np.testing.assert_allclose(res.translations_trajectory[-1], res.translations)
+    # default: no trajectory fields
+    res2 = harness.sample(params, batch, jax.random.key(11), t_start=5)
+    assert res2.seq_trajectory is None
