@@ -12,9 +12,9 @@ Here:
     is needed.  Semantics of so3.py:52-72 incl. the NaN-scrub and clamp >= 0
     (so3.py:61).
   * Sampling is pure jax.random, shape-static and jit/scan-friendly: the
-    angle is drawn by inverse-CDF binary search over the per-sigma CDF plus a
-    uniform jitter within the bin (same distribution as the reference's
-    torch.multinomial over bin masses + uniform jitter, so3.py:74-84), or —
+    angle is drawn from a precomputed piecewise-linear inverse CDF (one
+    gather + lerp; same distribution as the reference's torch.multinomial
+    over bin masses + uniform jitter, so3.py:74-84), or —
     for sigma >= 0.1 — from N(2 sigma, sigma^2) folded mod pi
     (so3.py:86-96).  The branch select is a jnp.where on a precomputed
     per-sigma mask (so3.py:122-125).
@@ -45,6 +45,10 @@ class IGSO3Table(NamedTuple):
                 diffusion schedule, indexed by timestep — diffusion.py:254-255).
       probs:    (S, n_bins) normalized bin masses of the IGSO(3) angular pdf.
       cdf:      (S, n_bins) inclusive cumulative masses (last column == 1).
+      inv_cdf:  (S, n_bins + 1) theta at evenly spaced quantiles — the
+                piecewise-linear inverse of the CDF, so sampling is ONE
+                gather + lerp instead of a 13-step on-device binary search
+                (which cost ~0.5 ms per reverse step in the sampler scan).
       use_hist: (S,) bool, True where sigma < sigma_threshold (histogram
                 branch), False for the folded-Gaussian branch.
     """
@@ -52,6 +56,7 @@ class IGSO3Table(NamedTuple):
     sigmas: jax.Array
     probs: jax.Array
     cdf: jax.Array
+    inv_cdf: jax.Array
     use_hist: jax.Array
 
     @property
@@ -118,44 +123,26 @@ def build_igso3_table(
     cdf = np.cumsum(probs, axis=-1)
     cdf = cdf / cdf[:, -1:]
 
+    # piecewise-linear inverse CDF on an even quantile grid.  theta(u) for
+    # u in [0, 1): the CDF is a step function over bins; its exact inverse
+    # with the reference's uniform-jitter-within-bin semantics is the
+    # piecewise-linear interpolant through (cdf[k], bin_edge[k+1]) —
+    # np.interp against the bin EDGES reproduces it up to quantile
+    # resolution (n_bins + 1 quantiles keeps that resolution at bin level).
+    n_q = n_bins + 1
+    quantiles = np.linspace(0.0, 1.0, n_q)
+    edges = np.arange(n_bins + 1, dtype=np.float64) * binsize
+    inv = np.empty((sigmas.size, n_q), np.float64)
+    for i in range(sigmas.size):
+        inv[i] = np.interp(quantiles, np.concatenate([[0.0], cdf[i]]), edges)
+
     return IGSO3Table(
         sigmas=jnp.asarray(sigmas, dtype=dtype),
         probs=jnp.asarray(probs, dtype=dtype),
         cdf=jnp.asarray(cdf, dtype=dtype),
+        inv_cdf=jnp.asarray(inv, dtype=dtype),
         use_hist=jnp.asarray(sigmas < sigma_threshold),
     )
-
-
-def _searchsorted_rows(cdf_rows: jax.Array, u: jax.Array) -> jax.Array:
-    """Vectorized inverse-CDF lookup.
-
-    cdf_rows: (..., n_bins) — a CDF per element; leading dims may be
-              SINGLETON and broadcast against u (take_along_axis broadcasts,
-              so the table is never materialized at u's full shape — a
-              (b, L, 8192) broadcast costs 134 MB per reverse step otherwise,
-              the dominant reverse-kernel cost on the profiler trace).
-    u:        (...,) uniform variates in [0, 1).
-    Returns the smallest bin index with cdf >= u, as (...,) int32.
-
-    Implemented as a branchless binary search (13 steps for 8192 bins) so it
-    vectorizes on the VPU instead of per-element host searchsorted.
-    """
-    n_bins = cdf_rows.shape[-1]
-    n_steps = max(1, int(np.ceil(np.log2(n_bins))))
-    lo = jnp.zeros(u.shape, dtype=jnp.int32)
-    hi = jnp.full(u.shape, n_bins - 1, dtype=jnp.int32)
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = (lo + hi) // 2
-        mid_val = jnp.take_along_axis(cdf_rows, mid[..., None], axis=-1)[..., 0]
-        go_right = mid_val < u
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-        return lo, hi
-
-    lo, hi = jax.lax.fori_loop(0, n_steps, body, (lo, hi))
-    return hi
 
 
 def sample_angle(
@@ -171,20 +158,25 @@ def sample_angle(
     sigmas[sigma_idx[...]] — histogram branch for small sigma, folded
     Gaussian otherwise (reference so3.py:74-96,118-125).
     """
-    k_bin, k_jit, k_gauss = jax.random.split(key, 3)
+    k_bin, k_gauss = jax.random.split(key, 2)
     out_shape = tuple(sigma_idx.shape) + tuple(sample_shape)
-    n_bins = table.n_bins
-    binsize = jnp.pi / n_bins
 
-    # --- histogram branch: inverse-CDF bin + uniform jitter within bin ---
-    # rows stay at singleton sample dims; take_along_axis broadcasts
-    cdf_rows = table.cdf[sigma_idx].reshape(
-        tuple(sigma_idx.shape) + (1,) * len(sample_shape) + (n_bins,)
+    # --- histogram branch: piecewise-linear inverse-CDF lookup ---
+    # (distributionally equivalent to bin-by-mass + uniform jitter; one
+    # gather + lerp, no on-device binary search).  Rows keep singleton
+    # sample dims; take_along_axis broadcasts without materializing.
+    n_q = table.inv_cdf.shape[-1]
+    inv_rows = table.inv_cdf[sigma_idx].reshape(
+        tuple(sigma_idx.shape) + (1,) * len(sample_shape) + (n_q,)
     )
-    u = jax.random.uniform(k_bin, out_shape, dtype=table.cdf.dtype)
-    bin_idx = _searchsorted_rows(cdf_rows, u)
-    jitter = jax.random.uniform(k_jit, out_shape, dtype=table.cdf.dtype)
-    theta_hist = (bin_idx.astype(table.cdf.dtype) + jitter) * binsize
+    u = jax.random.uniform(k_bin, out_shape, dtype=table.inv_cdf.dtype)
+    pos = u * (n_q - 1)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    i0 = jnp.clip(i0, 0, n_q - 2)
+    frac = pos - i0.astype(pos.dtype)
+    t0 = jnp.take_along_axis(inv_rows, i0[..., None], axis=-1)[..., 0]
+    t1 = jnp.take_along_axis(inv_rows, (i0 + 1)[..., None], axis=-1)[..., 0]
+    theta_hist = t0 * (1.0 - frac) + t1 * frac
 
     # --- Gaussian branch: N(2 sigma, sigma^2) folded into [0, pi) ---
     sig = table.sigmas[sigma_idx].reshape(
