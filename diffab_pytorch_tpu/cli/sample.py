@@ -107,14 +107,19 @@ def main(argv=None) -> int:
     chain_idx = np.asarray(batch.chain_idx[0])
     chain_letters = ["?", "H", "L"] + [chr(ord("A") + i) for i in range(7)]
 
+    from diffab_pytorch_tpu.structure import reconstruct_backbone
+
+    # full backbone (N, CA, C, O) reconstructed from the designed frames;
+    # context residues keep their original atoms
+    ori = np.asarray(result.orientations)
     fasta_lines = []
     for i in range(args.n_samples):
-        # CA-only backbone trace of the designed complex
         L = seqs.shape[1]
-        xyz = np.zeros((L, 15, 3), np.float32)
-        am = np.zeros((L, 15), bool)
-        xyz[:, 1] = xyz_ca[i]
-        am[:, 1] = mask
+        xyz, am = reconstruct_backbone(ori[i], xyz_ca[i])
+        orig_xyz = np.asarray(sample_dict["xyz"], np.float32)
+        orig_mask = np.asarray(sample_dict["atom_mask"], bool)
+        xyz = np.where(gen[:, None, None], xyz, orig_xyz)
+        am = np.where(gen[:, None], am, orig_mask)
         pdb_path = os.path.join(args.out_dir, f"design_{i:04d}.pdb")
         write_pdb(
             pdb_path,

@@ -19,3 +19,4 @@ from diffab_pytorch_tpu.structure.patch import (
     save_patch,
 )
 from diffab_pytorch_tpu.structure import geometry
+from diffab_pytorch_tpu.structure.reconstruct import reconstruct_backbone

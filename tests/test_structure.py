@@ -175,3 +175,28 @@ def test_residue_idx_preserved_through_patching(complex_):
 def test_missing_chain_raises(pdb_text):
     with pytest.raises(KeyError, match="chain 'X'"):
         antibody.from_chains(parse_pdb(pdb_text), "X", None, [])
+
+
+def test_reconstruct_backbone_roundtrip(complex_):
+    """Frames derived from a real backbone reconstruct N/CA/C near the
+    originals (ideal-geometry deviation only); O is psi-dependent and only
+    approximately placed."""
+    from diffab_pytorch_tpu.structure import reconstruct_backbone
+
+    rot = complex_.backbone_orientations()
+    ca = complex_.xyz[:, 1]
+    xyz, mask = reconstruct_backbone(rot, ca)
+    assert xyz.shape == (complex_.n_residues, 15, 3)
+    assert mask[:, :4].all() and not mask[:, 4:].any()
+
+    valid = complex_.atom_mask[:, :3].all(-1)
+    np.testing.assert_allclose(xyz[valid, 1], ca[valid], atol=1e-5)  # CA exact
+    # N and C directionally exact; distance off only by bond-length deviation
+    for slot in (0, 2):
+        d = np.linalg.norm(xyz[valid, slot] - complex_.xyz[valid, slot], axis=-1)
+        assert d.max() < 0.75, f"slot {slot}: {d.max()}"
+    # reconstructed frames from reconstructed atoms match the inputs
+    from diffab_pytorch_tpu.structure import geometry
+
+    rot2, ok = geometry.backbone_orientations(xyz, mask)
+    np.testing.assert_allclose(rot2[valid], rot[valid], atol=1e-4)
