@@ -10,6 +10,7 @@ from diffab_pytorch_tpu.structure.antibody import (
     from_arrays,
     from_chains,
     from_pdb,
+    from_pdb_id,
 )
 from diffab_pytorch_tpu.structure.patch import (
     PATCH_KEYS,

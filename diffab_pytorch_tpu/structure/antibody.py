@@ -91,6 +91,12 @@ class AntibodyComplex:
     def get_antigen_mask(self) -> np.ndarray:
         return self.chain_idx >= FIRST_ANTIGEN_CHAIN_IDX
 
+    def get_max_n_residues(self) -> int:
+        return self.n_residues
+
+    def get_max_n_atoms_per_residue(self) -> int:
+        return self.xyz.shape[1]
+
     def backbone_orientations(self) -> np.ndarray:
         rot, _ = geometry.backbone_orientations(self.xyz, self.atom_mask)
         return rot
@@ -274,6 +280,27 @@ def from_pdb(
     AntibodyStructureBatch.from_pdb parity, data.py:68-73)."""
     return from_chains(
         parse_pdb_file(path),
+        heavy_chain_id,
+        light_chain_id,
+        antigen_chain_ids,
+        keep_fv_only,
+    )
+
+
+def from_pdb_id(
+    pdb_id: str,
+    heavy_chain_id: Optional[str] = None,
+    light_chain_id: Optional[str] = None,
+    antigen_chain_ids: Sequence[str] = (),
+    keep_fv_only: bool = False,
+) -> AntibodyComplex:
+    """Fetch from RCSB and assemble (protstruc StructureBatch.from_pdb_id
+    parity, reference tests/test_modules.py:274,334).  Requires network
+    egress — fetch_pdb raises a clear ConnectionError otherwise."""
+    from diffab_pytorch_tpu.structure.pdb import parse_pdb
+
+    return from_chains(
+        parse_pdb(fetch_pdb(pdb_id)),
         heavy_chain_id,
         light_chain_id,
         antigen_chain_ids,
