@@ -101,16 +101,14 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     p_shard = param_sharding(state.params, mesh)
     params = jax.device_put(state.params, p_shard)
 
-    def opt_put(leaf):
-        return jax.device_put(leaf, replicated(mesh))
-
-    # Adam moments mirror the param tree structure inside optax state;
-    # map matching subtrees to the same shardings where shapes align.
+    # Adam moments mirror the param tree inside optax state; leaves are
+    # matched to param shardings by (shape, dtype).  Limitation: if two
+    # params shared a shape but had DIFFERENT shardings, the first would
+    # win — at most a performance (resharding) cost, never incorrectness,
+    # since GSPMD re-shards on use.  With the current sharding rules the
+    # col-/row-parallel kernels have distinct shapes, so the match is exact.
     def place_opt(opt_state):
-        def put(x):
-            return jax.device_put(x, replicated(mesh))
-
-        flat_params, treedef_p = jax.tree_util.tree_flatten(state.params)
+        flat_params = jax.tree_util.tree_leaves(state.params)
         flat_shard = jax.tree_util.tree_leaves(p_shard)
         shard_by_shape = {}
         for leaf, sh in zip(flat_params, flat_shard):
@@ -118,10 +116,10 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
 
         def smart_put(x):
             if hasattr(x, "shape"):
-                sh = shard_by_shape.get((x.shape, str(x.dtype)))
-                if sh is not None:
-                    return jax.device_put(x, sh)
-                return put(x)
+                sh = shard_by_shape.get(
+                    (x.shape, str(x.dtype)), replicated(mesh)
+                )
+                return jax.device_put(x, sh)
             return x
 
         return jax.tree.map(smart_put, opt_state)
