@@ -101,7 +101,11 @@ def run_bulk(args) -> int:
         ))
 
     n_ok = n_fail = 0
-    with mp.Pool(args.jobs) as pool:
+    # spawn, not fork: the importing process usually already has JAX/XLA
+    # threads (this container starts a backend in every python process),
+    # and forking a threaded process can deadlock mid-run — unacceptable
+    # for an 8,400-file sweep.
+    with mp.get_context("spawn").Pool(args.jobs) as pool:
         for out_path, err in pool.imap_unordered(_bulk_worker, rows):
             if err is None:
                 n_ok += 1

@@ -168,6 +168,27 @@ def posterior_from_predicted_t0(
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
+def log_posterior_from_predicted_t0(
+    sched: DiffusionSchedule,
+    seq_idx_t: jax.Array,
+    s0_probs: jax.Array,
+    t: jax.Array,
+    generation_mask: jax.Array,
+) -> jax.Array:
+    """log q(s_{t-1} | s_t, p_hat(s_0)) — the training-loss counterpart of
+    posterior_from_predicted_t0, so the KL target and the sampling
+    distribution share ONE definition (the DiffAb-paper semantics: the head
+    predicts p(s_0); both train and sample push it through this transform).
+
+    Clamped-context rows are point masses (zeros elsewhere), and at t=1 the
+    prior term is s0_probs itself which can be ~0 — hence the floor before
+    the log; such entries carry ~zero posterior mass and context rows are
+    excluded from the loss anyway.
+    """
+    p = posterior_from_predicted_t0(sched, seq_idx_t, s0_probs, t, generation_mask)
+    return jnp.log(jnp.maximum(p, 1e-12))
+
+
 def reverse_step(
     key: jax.Array,
     sched: DiffusionSchedule,

@@ -9,7 +9,14 @@ parallel heads:
   translations_eps  (b, L, 3)    — predicted Gaussian noise on x_t
   orientations_t0   (b, L, 3, 3) — R_t composed with a predicted correction
                                     rotation exp(v_hat)
-  seq_posterior     (b, L, K)    — softmax distribution over amino acids
+  seq_posterior     (b, L, K)    — softmax distribution over amino acids,
+                                    interpreted as the predicted p_hat(s_0)
+                                    (key name kept for reference parity,
+                                    diffab_pytorch.py:601-607; both the
+                                    training KL and the sampler derive the
+                                    s_{t-1} posterior from it through
+                                    sequence.posterior_from_predicted_t0 —
+                                    DESIGN.md §2 #15)
 
 Divergence: the noisy-sequence embedding table is the unified vocab size
 (21) instead of the reference's unexplained 25 (diffab_pytorch.py:514,

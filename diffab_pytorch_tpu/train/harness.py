@@ -181,8 +181,17 @@ class DiffAb:
             noised.orientations_t,
             noised.beta,
         )
+        # The head predicts p_hat(s_0); the KL's predicted distribution is
+        # the derived posterior q(s_{t-1}|s_t, p_hat(s_0)) — the SAME
+        # transform the sampler draws from, so train and sample semantics
+        # agree (DESIGN.md §2 #15).
+        seq_log_posterior_pred = sequence.log_posterior_from_predicted_t0(
+            self.sched, noised.seq_idx_t, denoised["seq_posterior"], t,
+            batch.generation_mask,
+        )
         losses = diffab_losses(
             denoised,
+            seq_log_posterior_pred,
             noised.seq_posterior,
             noised.translations_eps,
             batch.orientations,

@@ -12,8 +12,15 @@ masking by generation_mask & residue_mask.
   orientations_loss || R_pred^T-composed discrepancy - I ||^2 elementwise
                     mean over the 3x3 entries (:620-625, F.mse_loss)
 
-The KL is computed from log-softmax of the sequence head logits rather than
-log(softmax(...)) for numerical stability.
+Sequence-head semantics (deliberate divergence from the reference, see
+DESIGN.md §2 #15): the head predicts p_hat(s_0); the KL's predicted
+distribution is q(s_{t-1} | s_t, p_hat(s_0)) derived through
+`sequence.log_posterior_from_predicted_t0` — the SAME transform the sampler
+draws from (`sampling/sampler.py`), so training and sampling agree. The
+reference instead regresses the raw head output onto the true posterior
+(diffab_pytorch.py:842-858) while its sample() stub left the reverse
+semantics undefined. The caller (train/harness.py loss_fn) computes the
+predicted log-posterior and passes it in.
 """
 
 from __future__ import annotations
@@ -41,8 +48,18 @@ def kl_divergence_from_logits(pred_logits: jax.Array, target_probs: jax.Array) -
     return jnp.sum(target_probs * (jnp.log(t) - log_pred), axis=-1)
 
 
+def kl_divergence_from_log_probs(
+    pred_log_probs: jax.Array, target_probs: jax.Array
+) -> jax.Array:
+    """KL(target || pred) summed over the last axis, with pred given as
+    (already normalized) log-probabilities."""
+    t = jnp.maximum(target_probs, 1e-12)
+    return jnp.sum(target_probs * (jnp.log(t) - pred_log_probs), axis=-1)
+
+
 def diffab_losses(
     denoised: Dict[str, jax.Array],
+    seq_log_posterior_pred: jax.Array,  # (b, L, K) — log q(s_{t-1}|s_t, p_hat(s_0))
     seq_posterior_true: jax.Array,  # (b, L, K)
     translations_eps_true: jax.Array,  # (b, L, 3)
     orientations_t0_true: jax.Array,  # (b, L, 3, 3)
@@ -53,8 +70,8 @@ def diffab_losses(
     loss_mask = (generation_mask & residue_mask).astype(jnp.float32)
     denom = jnp.maximum(loss_mask.sum(), 1.0)
 
-    seq_elem = kl_divergence_from_logits(
-        denoised["seq_logits"], seq_posterior_true
+    seq_elem = kl_divergence_from_log_probs(
+        seq_log_posterior_pred, seq_posterior_true
     )  # (b, L)
     seq_loss = jnp.sum(seq_elem * loss_mask) / denom
 

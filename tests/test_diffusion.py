@@ -147,6 +147,31 @@ class TestSequenceDiffuser:
         # the oracle pulls everything back to seq0
         assert float((seq_rec == seq0).mean()) > 0.99
 
+    def test_train_sample_semantics_agree(self):
+        """The training KL target and the sampling distribution are the SAME
+        transform of the head output (DESIGN.md §2 #15): with an oracle head
+        p_hat(s_0) = onehot(s_0), the predicted posterior equals the true
+        posterior exactly, so the per-position KL is ~0 at every t."""
+        sched = self.diffuser.sched
+        seq0 = jax.random.randint(jax.random.key(12), (BSZ, L), 0, 20)
+        gen_mask = jnp.ones((BSZ, L), dtype=bool)
+        s0_probs = jax.nn.one_hot(seq0, 21)
+
+        for tval in (1, 2, 50, T):
+            t = full(tval)
+            seq_t, post_true = sequence.diffuse_from_t0(
+                jax.random.fold_in(jax.random.key(13), tval),
+                sched, seq0, t, gen_mask,
+            )
+            log_post_pred = sequence.log_posterior_from_predicted_t0(
+                sched, seq_t, s0_probs, t, gen_mask
+            )
+            kl = jnp.sum(
+                post_true * (jnp.log(jnp.maximum(post_true, 1e-12)) - log_post_pred),
+                axis=-1,
+            )
+            np.testing.assert_allclose(np.asarray(kl), 0.0, atol=1e-5)
+
     def test_vocab_size_respected(self):
         """aa_vocab_size argument is honored (reference ignores it,
         SURVEY.md §2.9#5)."""

@@ -49,22 +49,22 @@ def test_diffab_losses_masking():
     is their count (reference diffab_pytorch.py:867-878)."""
     key = jax.random.key(5)
     denoised = {
-        "seq_logits": jax.random.normal(key, (B, L, 21)),
         "translations_eps": jnp.zeros((B, L, 3)),
         "orientations_t0": so3.uniform(jax.random.key(6), (B, L)),
     }
+    pred_log_post = jax.nn.log_softmax(jax.random.normal(key, (B, L, 21)), -1)
     target_post = jax.nn.softmax(jax.random.normal(jax.random.key(7), (B, L, 21)), -1)
     eps_true = jnp.ones((B, L, 3)) * 2.0  # squared err 4 per coord, 12 per residue
     r_true = denoised["orientations_t0"]  # orientation loss = 0
 
     gen = jnp.zeros((B, L), bool).at[:, :4].set(True)
     res = jnp.ones((B, L), bool)
-    out = diffab_losses(denoised, target_post, eps_true, r_true, gen, res)
+    out = diffab_losses(denoised, pred_log_post, target_post, eps_true, r_true, gen, res)
     np.testing.assert_allclose(out["translations_loss"], 12.0, rtol=1e-6)
     np.testing.assert_allclose(out["orientations_loss"], 0.0, atol=1e-6)
     assert float(out["loss"]) > 0
 
     # garbage outside the mask must not change anything
     eps_true2 = eps_true.at[:, 10:].set(1e9)
-    out2 = diffab_losses(denoised, target_post, eps_true2, r_true, gen, res)
+    out2 = diffab_losses(denoised, pred_log_post, target_post, eps_true2, r_true, gen, res)
     np.testing.assert_allclose(out2["translations_loss"], out["translations_loss"])
