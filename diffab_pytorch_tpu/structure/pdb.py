@@ -9,10 +9,17 @@ shape .npz patches this layer produces.
 Parsing rules:
   * ATOM records only, plus HETATM MSE (selenomethionine -> MET, standard).
   * First model only (stop at ENDMDL).
-  * Alternate locations: keep altloc ' ' or 'A'.
+  * Alternate locations: first occurrence per (residue, atom) wins — keeps
+    altloc A for ordinary A/B pairs (A precedes B in deposited files) and,
+    unlike a strict ' '/'A' filter, retains atoms that exist ONLY as
+    altloc B (real SAbDab files have such residues).
   * Unknown residue names -> AA.UNK with backbone-only atoms.
   * Insertion codes preserved; residues keyed by (resseq, icode) in file
     order.
+
+Pinned against curated Chothia-format fixtures with insertion-coded H3
+loops, altlocs, HETATM MSE, and multi-model records in
+tests/test_structure_fixtures.py.
 """
 
 from __future__ import annotations
@@ -78,9 +85,8 @@ def parse_pdb(text: str, prefer_native: bool = True) -> Dict[str, List[Residue]]
         is_mse = rec == "HETATM" and line[17:20] == "MSE"
         if not (is_atom or is_mse):
             continue
-        altloc = line[16]
-        if altloc not in (" ", "A"):
-            continue
+        # altloc: no filter — the first occurrence of each (residue, atom)
+        # wins below, which keeps A for A/B pairs and retains B-only atoms
         atom_name = line[12:16].strip()
         resname = line[17:20].strip()
         if is_mse:

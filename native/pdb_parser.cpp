@@ -3,7 +3,8 @@
 // Same semantics as the pure-Python reference implementation
 // (diffab_pytorch_tpu/structure/pdb.py, which stays the source of truth and
 // the fallback): ATOM records plus HETATM MSE (-> MET, SE -> SD), first
-// model only, altloc ' '/'A', unknown residues -> UNK with backbone slots,
+// model only, altloc first-occurrence-wins (keeps A for A/B pairs, retains
+// B-only atoms), unknown residues -> UNK with backbone slots,
 // residues keyed by (chain, resseq, icode) in file order, residues without
 // a CA dropped.  Canonical atom-slot tables mirror constants.RESIDUE_ATOMS
 // (pinned by tests/test_native.py parity checks against the Python parser).
@@ -143,9 +144,7 @@ int diffab_parse_pdb(const char* text, long text_len, int max_residues,
                   std::strncmp(line + 17, "MSE", 3) == 0;
     if (!is_atom && !is_mse) continue;
     if (len < 54) continue;
-    char altloc = line[16];
-    if (altloc != ' ' && altloc != 'A') continue;
-
+    // altloc: no filter — first occurrence per (residue, atom) wins below
     std::string atom_name = strip(line + 12, 4);
     std::string resname = strip(line + 17, 3);
     if (is_mse) {
