@@ -121,6 +121,7 @@ def main(argv=None) -> int:
         xyz = np.where(gen[:, None, None], xyz, orig_xyz)
         am = np.where(gen[:, None], am, orig_mask)
         pdb_path = os.path.join(args.out_dir, f"design_{i:04d}.pdb")
+        icodes = sample_dict.get("icode")
         write_pdb(
             pdb_path,
             xyz[mask],
@@ -128,6 +129,7 @@ def main(argv=None) -> int:
             seqs[i][mask],
             [chain_letters[c] for c in chain_idx[mask]],
             np.asarray(sample_dict["residue_number"])[mask],
+            icodes=None if icodes is None else np.asarray(icodes)[mask],
         )
         cdr_seq = "".join(
             THREE_TO_ONE.get(AA_THREE[s], "X") if s < 20 else "X"

@@ -73,90 +73,77 @@ def _attention_core_jnp(
 
 
 def _kernel(
-    q_s_ref, k_s_ref, v_s_ref,  # (h*ds, L) — transposed: L is the lane dim
-    q_p_ref, k_p_ref, v_p_ref,  # (h*P*3, L)
+    q_s_ref, k_s_ref, v_s_ref,  # (h, ds, L) — transposed: L is the lane dim
+    q_p_ref, k_p_ref, v_p_ref,  # (h, P*3, L)
     pair_t_ref,  # (L, dp, L) — pair transposed
-    bias_ref,  # (h*L, L) — precomputed pair-bias logits
+    bias_ref,  # (h, L, L) — precomputed pair-bias logits
     gamma_ref,  # (1, h)
     mask_ref,  # (1, L)
-    out_s_ref,  # (h*ds, L)
-    out_pair_ref,  # (h*dp, L)
-    out_p_ref,  # (h*P*3, L)
+    out_s_ref,  # (h, ds, L)
+    out_pair_ref,  # (L, h, dp)
+    out_p_ref,  # (h, P*3, L)
     *,
-    n_head: int,
-    d_scalar: int,
-    n_point: int,
-    d_pair: int,
     scale_scalar: float,
     scale_point: float,
     scale_total: float,
 ):
-    """Everything lives in (features, L) layout: per-head access is an
-    8-aligned SUBLANE slice (Mosaic requires 128-aligned LANE slices, which
-    per-head feature widths like 192 cannot satisfy)."""
-    L = mask_ref.shape[1]
-    p3 = n_point * 3
+    """Head-BATCHED formulation: every contraction is one dot_general with
+    the head axis as a batch dimension (no per-head Python loop — Mosaic
+    unrolls loops into h separate small ops, while batched dots pipeline on
+    the MXU).  Matmuls run in the INPUT dtype (bf16 on TPU) with f32
+    accumulation; logit algebra and softmax stay f32.  The (features, L)
+    layout keeps L as the lane dimension (Mosaic requires 128-aligned lane
+    slices; per-head feature widths like 192 cannot satisfy that)."""
     f32 = jnp.float32
+    dt_in = q_s_ref.dtype
 
-    pair_t = pair_t_ref[:].astype(f32)  # (L, dp, L), read once, all heads
     mask_row = mask_ref[0, :]  # (L,)
-    neg = jnp.where(mask_row > 0, 0.0, _NEG_INF)[None, :]  # (1, L)
+    neg = jnp.where(mask_row > 0, 0.0, _NEG_INF)[None, None, :]  # (1, 1, L)
+    gamma = gamma_ref[0, :].astype(f32)  # (h,)
 
-    contract_first = lambda a, b_: jax.lax.dot_general(
-        a, b_, dimension_numbers=(((0,), (0,)), ((), ())),
+    # logit[h, i, j] = sum_d q[h, d, i] k[h, d, j]
+    qk_dot = lambda a, b_: jax.lax.dot_general(
+        a, b_, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )  # (h, L, L)
+
+    logit = qk_dot(q_s_ref[:], k_s_ref[:]) * scale_scalar  # (h, L, L) f32
+
+    qp = q_p_ref[:]  # (h, p3, L)
+    kp = k_p_ref[:]
+    cross = qk_dot(qp, kp)  # (h, L, L)
+    qp32 = qp.astype(f32)
+    kp32 = kp.astype(f32)
+    q_sq = jnp.sum(qp32 * qp32, axis=1)  # (h, L)
+    k_sq = jnp.sum(kp32 * kp32, axis=1)
+    sq_dist = q_sq[:, :, None] + k_sq[:, None, :] - 2.0 * cross
+    logit = logit - (0.5 * scale_point) * gamma[:, None, None] * sq_dist
+
+    logit = (logit + bias_ref[:].astype(f32)) * scale_total
+    logit = logit + neg  # mask padded keys
+
+    m = jnp.max(logit, axis=-1, keepdims=True)
+    e = jnp.exp(logit - m)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)  # (h, i, j) f32
+    attn_in = attn.astype(dt_in)
+
+    # out[h, d, i] = sum_j v[h, d, j] attn[h, i, j]
+    v_dot = lambda v_t: jax.lax.dot_general(
+        v_t, attn_in, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=f32,
     )
+    out_s_ref[:] = v_dot(v_s_ref[:]).astype(out_s_ref.dtype)
+    out_p_ref[:] = v_dot(v_p_ref[:]).astype(out_p_ref.dtype)
 
-    for head in range(n_head):
-        sl_s = slice(head * d_scalar, (head + 1) * d_scalar)
-        sl_p = slice(head * p3, (head + 1) * p3)
-
-        qs = q_s_ref[sl_s, :].astype(f32)  # (ds, L)
-        ks = k_s_ref[sl_s, :].astype(f32)
-        # logit[i, j] = sum_d qs[d, i] ks[d, j]
-        logit = contract_first(qs, ks) * scale_scalar  # (L, L)
-
-        qp = q_p_ref[sl_p, :].astype(f32)  # (p3, L)
-        kp = k_p_ref[sl_p, :].astype(f32)
-        cross = contract_first(qp, kp)  # (L, L)
-        q_sq = jnp.sum(qp * qp, axis=0)[:, None]  # (L, 1)
-        k_sq = jnp.sum(kp * kp, axis=0)[None, :]  # (1, L)
-        sq_dist = q_sq + k_sq - 2.0 * cross
-        g = gamma_ref[0, head]
-        logit = logit - (0.5 * scale_point) * g * sq_dist
-
-        bias_h = bias_ref[head * L : (head + 1) * L, :].astype(f32)  # (L, L)
-        logit = (logit + bias_h) * scale_total
-        logit = logit + neg  # mask padded keys
-
-        m = jnp.max(logit, axis=-1, keepdims=True)
-        e = jnp.exp(logit - m)
-        attn = e / jnp.sum(e, axis=-1, keepdims=True)  # (L, L) rows = queries
-
-        # out_t[d, i] = sum_j v_t[d, j] attn[i, j]
-        attn_t_mm = lambda v_t: jax.lax.dot_general(
-            v_t, attn, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        out_s_ref[sl_s, :] = attn_t_mm(v_s_ref[sl_s, :].astype(f32)).astype(
-            out_s_ref.dtype
-        )
-        out_p_ref[sl_p, :] = attn_t_mm(v_p_ref[sl_p, :].astype(f32)).astype(
-            out_p_ref.dtype
-        )
-
-        # attended pair rows: out[i, d] = sum_j attn[i, j] pair_t[i, d, j]
-        # — batched over i; the singleton lhs dim matters (Mosaic cannot
-        # lower a batched dot whose lhs has no non-contracting dims)
-        out_pair_h = jax.lax.dot_general(
-            attn[:, None, :],
-            pair_t,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=f32,
-        )[:, 0, :]  # (L, dp)
-        out_pair_ref[head * d_pair : (head + 1) * d_pair, :] = (
-            out_pair_h.T.astype(out_pair_ref.dtype)
-        )
+    # attended pair rows, ALL heads in one batched-over-queries dot:
+    # out[i, h, d] = sum_j attn[h, i, j] pair_t[i, d, j]
+    attn_ib = jnp.transpose(attn_in, (1, 0, 2))  # (i, h, j)
+    out_pair = jax.lax.dot_general(
+        attn_ib, pair_t_ref[:],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )  # (i, h, dp)
+    out_pair_ref[:] = out_pair.astype(out_pair_ref.dtype)
 
 
 def _pallas_forward(
@@ -173,36 +160,35 @@ def _pallas_forward(
 
     pair_t = jnp.swapaxes(pair, -1, -2)  # (b, L, dp, L): lane dim = L
 
-    # transposed (features, L) layout so L is always the lane dimension
-    flat_t = lambda x: jnp.swapaxes(x.reshape(b, L, -1), -1, -2)
+    # head-batched (h, features, L) layout so L is always the lane dimension
+    head_t = lambda x: jnp.transpose(x.reshape(b, L, h, -1), (0, 2, 3, 1))
     kernel = functools.partial(
         _kernel,
-        n_head=h,
-        d_scalar=ds,
-        n_point=pq,
-        d_pair=dp,
         scale_scalar=float(scale_scalar),
         scale_point=float(scale_point),
         scale_total=float(scale_total),
     )
 
-    def col_spec(height):
-        return pl.BlockSpec((1, height, L), lambda i: (i, 0, 0),
+    def head_spec(height):
+        return pl.BlockSpec((1, h, height, L), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pl.GridSpec(
         grid=(b,),
         in_specs=[
-            col_spec(h * ds), col_spec(h * ds), col_spec(h * ds),
-            col_spec(h * pq * 3), col_spec(h * pq * 3), col_spec(h * pv * 3),
+            head_spec(ds), head_spec(ds), head_spec(ds),
+            head_spec(pq * 3), head_spec(pq * 3), head_spec(pv * 3),
             pl.BlockSpec((1, L, dp, L), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            col_spec(h * L),
+            head_spec(L),
             pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            col_spec(h * ds), col_spec(h * dp), col_spec(h * pv * 3),
+            head_spec(ds),
+            pl.BlockSpec((1, L, h, dp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            head_spec(pv * 3),
         ],
     )
 
@@ -214,27 +200,34 @@ def _pallas_forward(
         )
 
     out_shapes = [
-        jax.ShapeDtypeStruct((b, h * ds, L), dt),
-        jax.ShapeDtypeStruct((b, h * dp, L), dt),
-        jax.ShapeDtypeStruct((b, h * pv * 3, L), dt),
+        jax.ShapeDtypeStruct((b, h, ds, L), dt),
+        jax.ShapeDtypeStruct((b, L, h, dp), dt),
+        jax.ShapeDtypeStruct((b, h, pv * 3, L), dt),
     ]
+    flops_per_b = 2 * h * L * L * (2 * ds + 2 * pq * 3 + dp)
     out_s, out_pair, out_p = pl.pallas_call(
         kernel_wrap,
         out_shape=out_shapes,
         grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=b * flops_per_b,
+            bytes_accessed=pair_t.size * pair_t.dtype.itemsize
+            + b * h * L * L * bias.dtype.itemsize,
+            transcendentals=b * h * L * L,
+        ),
         # interpret on CPU so the kernel is testable on the faked mesh
         interpret=jax.default_backend() == "cpu",
     )(
-        flat_t(q_s), flat_t(k_s), flat_t(v_s),
-        flat_t(q_p), flat_t(k_p), flat_t(v_p),
-        pair_t, bias.reshape(b, h * L, L), gamma.reshape(1, h),
+        head_t(q_s), head_t(k_s), head_t(v_s),
+        head_t(q_p), head_t(k_p), head_t(v_p),
+        pair_t, bias, gamma.reshape(1, h),
         mask.astype(dt)[:, None, :],
     )
-    unflat = lambda x: jnp.swapaxes(x, -1, -2)
+    unhead = lambda x: jnp.transpose(x, (0, 3, 1, 2))  # (b, L, h, f)
     return (
-        unflat(out_s).reshape(b, L, h, ds),
-        unflat(out_pair).reshape(b, L, h, dp),
-        unflat(out_p).reshape(b, L, h, pv, 3),
+        unhead(out_s),
+        out_pair,
+        unhead(out_p).reshape(b, L, h, pv, 3),
     )
 
 

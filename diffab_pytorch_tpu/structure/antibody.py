@@ -53,6 +53,7 @@ class AntibodyComplex:
     chain_idx: np.ndarray  # (L,) int32 (1=H, 2=L, 3+=antigen)
     residue_idx: np.ndarray  # (L,) int32 per-chain sequential
     residue_number: np.ndarray  # (L,) int32 author (Chothia) numbering
+    icode: np.ndarray  # (L,) uint8 insertion-code char (ord(' ') = none)
     cdr_idx: np.ndarray  # (L,) int8 CDR enum (0 = not a CDR)
     anchor_mask: np.ndarray  # (L,) bool CDR-flanking framework residues
     chain_ids: List[str]  # per-residue original chain letter
@@ -119,6 +120,7 @@ class AntibodyComplex:
             chain_idx=self.chain_idx[idx],
             residue_idx=self.residue_idx[idx],
             residue_number=self.residue_number[idx],
+            icode=self.icode[idx],
             cdr_idx=self.cdr_idx[idx],
             anchor_mask=self.anchor_mask[idx],
             chain_ids=[self.chain_ids[i] for i in idx],
@@ -194,6 +196,7 @@ def from_chains(
         chain_idx=np.zeros(L, np.int32),
         residue_idx=np.zeros(L, np.int32),
         residue_number=np.zeros(L, np.int32),
+        icode=np.full(L, ord(" "), np.uint8),
         cdr_idx=np.zeros(L, np.int8),
         anchor_mask=np.zeros(L, bool),
         chain_ids=[row[0] for row in rows],
@@ -205,6 +208,7 @@ def from_chains(
         out.chain_idx[i] = cidx
         out.residue_idx[i] = seq_pos
         out.residue_number[i] = r.resseq
+        out.icode[i] = ord(r.icode[:1] or " ")
         if role in ("H", "L"):
             out.cdr_idx[i] = _cdr_label(role, r.resseq)
             out.anchor_mask[i] = _is_anchor(role, r.resseq)
@@ -244,6 +248,7 @@ def from_arrays(
         chain_idx=chain_idx,
         residue_idx=residue_idx,
         residue_number=np.asarray(residue_number, np.int32),
+        icode=np.full(L, ord(" "), np.uint8),
         cdr_idx=cdr_idx,
         anchor_mask=anchor,
         chain_ids=[str(c) for c in chain_idx],

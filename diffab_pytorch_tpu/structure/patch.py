@@ -36,6 +36,7 @@ PATCH_KEYS = (
     "chain_idx",
     "residue_idx",
     "residue_number",
+    "icode",
     "cdr_idx",
     "orientations",
     "backbone_dihedrals",
@@ -107,6 +108,7 @@ def featurize_patch(
         "chain_idx": pad(complex_.chain_idx),
         "residue_idx": pad(complex_.residue_idx),
         "residue_number": pad(complex_.residue_number),
+        "icode": pad(complex_.icode),
         "cdr_idx": pad(complex_.cdr_idx),
         "orientations": pad(orientations),
         "backbone_dihedrals": pad(dihedrals),

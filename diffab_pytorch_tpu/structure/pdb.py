@@ -146,26 +146,42 @@ def write_pdb(
     seq_idx: np.ndarray,  # (L,)
     chain_ids: List[str],  # per residue
     residue_numbers: np.ndarray,  # (L,)
+    icodes: np.ndarray | None = None,  # (L,) uint8 char codes (or None)
 ) -> None:
     """Write designed structures back out as a PDB (round-trip surface for
-    downstream tools).  Only slots with atom_mask set are emitted."""
+    downstream tools).  Only slots with atom_mask set are emitted.
+    Insertion codes are preserved so Chothia-numbered loops (100A-K in a
+    long H3) round-trip without residues collapsing on re-parse."""
     from diffab_pytorch_tpu.constants import AA_THREE
+
+    def coord(v: float) -> str:
+        # PDB coordinate fields are 8 columns wide; extreme values (e.g.
+        # designs from an untrained model) must not overflow and corrupt
+        # the fixed-column layout — degrade precision until it fits
+        for dec in (3, 2, 1, 0):
+            s = f"{v:8.{dec}f}"
+            if len(s) == 8:
+                return s
+        return f"{max(min(v, 9.9e7), -9.9e6):8.0f}"
 
     lines = []
     serial = 1
     for i in range(xyz.shape[0]):
         resname = AA_THREE[int(seq_idx[i])] if int(seq_idx[i]) < 20 else "UNK"
         atom_names = RESIDUE_ATOMS.get(resname, ["N", "CA", "C", "O"])
+        ic = " "
+        if icodes is not None and int(icodes[i]) not in (0, ord(" ")):
+            ic = chr(int(icodes[i]))
         for a, name in enumerate(atom_names):
             if a >= atom_mask.shape[1] or not atom_mask[i, a]:
                 continue
-            x, y, z = (float(v) for v in xyz[i, a])
+            x, y, z = (coord(float(v)) for v in xyz[i, a])
             element = name[0]
             name4 = f" {name:<3s}" if len(name) < 4 else name
             lines.append(
                 f"ATOM  {serial:5d} {name4} {resname:>3s} {chain_ids[i]}"
-                f"{int(residue_numbers[i]):4d}    "
-                f"{x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{0.0:6.2f}"
+                f"{int(residue_numbers[i]):4d}{ic}   "
+                f"{x}{y}{z}{1.0:6.2f}{0.0:6.2f}"
                 f"          {element:>2s}"
             )
             serial += 1

@@ -1,0 +1,123 @@
+"""End-to-end exercise of the user-facing CLIs: preprocess -> train ->
+checkpoint -> sample -> written artifacts re-parse.
+
+This is the full design workflow a user of the reference would run (its
+sample() was a stub, diffab_pytorch.py:770-776 — this framework's
+cli.sample is the capability that replaces it), driven on the curated
+Chothia fixture at tiny scale.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from diffab_pytorch_tpu.cli import sample as sample_cli
+from diffab_pytorch_tpu.cli import train as train_cli
+from diffab_pytorch_tpu.constants import AA_THREE, THREE_TO_ONE
+from diffab_pytorch_tpu.structure import antibody, featurize_patch
+from diffab_pytorch_tpu.structure.patch import load_patch, save_patch
+from diffab_pytorch_tpu.structure.pdb import parse_pdb_file
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "ab1_chothia.pdb")
+N_DESIGNS = 4
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_e2e")
+    data = root / "patches"
+    data.mkdir()
+    c = antibody.from_pdb(FIXTURE, "H", "L", ["A"], keep_fv_only=True)
+    patch = featurize_patch(c, patch_size=128)
+    for i in range(3):  # a few copies so the val split is non-degenerate
+        save_patch(str(data / f"p{i}.npz"), patch)
+    return root
+
+
+@pytest.fixture(scope="module")
+def trained(workdir):
+    ckpt = workdir / "ckpt"
+    rc = train_cli.main([
+        "--data-dir", str(workdir / "patches"),
+        "--tiny", "--max-steps", "2", "--bsz", "2", "--val-pct", "0",
+        "--checkpoint-dir", str(ckpt),
+        "--csv", str(workdir / "metrics.csv"),
+    ])
+    assert rc == 0
+    return ckpt
+
+
+@pytest.mark.slow
+def test_cli_sample_end_to_end(workdir, trained):
+    out = workdir / "designs"
+    patch_path = str(workdir / "patches" / "p0.npz")
+    rc = sample_cli.main([
+        "--patch", patch_path,
+        "--checkpoint-dir", str(trained),
+        "--tiny", "-n", str(N_DESIGNS), "--cdrs", "H3",
+        "-o", str(out), "-s", "3",
+    ])
+    assert rc == 0
+
+    src = load_patch(patch_path)
+    gen = (src["cdr_idx"] == 3) & src["residue_mask"]
+    res_mask = src["residue_mask"].astype(bool)
+
+    # FASTA: one sequence per design, each exactly as long as the CDR mask
+    fasta = (out / "designs.fasta").read_text().strip().splitlines()
+    seqs = [l for l in fasta if not l.startswith(">")]
+    assert len(seqs) == N_DESIGNS
+    assert all(len(s) == int(gen.sum()) for s in seqs)
+
+    # every written PDB re-parses; context residues keep their input
+    # sequence and coordinates (to PDB %8.3f resolution)
+    ctx = res_mask & ~gen
+    for i in range(N_DESIGNS):
+        path = out / f"design_{i:04d}.pdb"
+        assert path.exists()
+        chains = parse_pdb_file(str(path), prefer_native=False)
+        flat = [r for cid in ("H", "L", "A") if cid in chains
+                for r in chains[cid]]
+        assert len(flat) == int(res_mask.sum())
+
+        got_ca = np.stack([r.xyz[1] for r in flat])
+        got_names = [r.resname for r in flat]
+        src_ca = src["xyz"][res_mask, 1]
+        src_names = [AA_THREE[s] for s in src["seq_idx"][res_mask]]
+        ctx_rows = ctx[res_mask]
+        np.testing.assert_allclose(got_ca[ctx_rows], src_ca[ctx_rows], atol=2e-3)
+        assert all(
+            g == s for g, s, keep in zip(got_names, src_names, ctx_rows) if keep
+        )
+
+    # designed CDR coordinates actually moved and sequences vary across seeds
+    moved = [
+        np.abs(
+            np.stack([r.xyz[1] for cid in ("H",) for r in
+                      parse_pdb_file(str(out / f"design_{i:04d}.pdb"),
+                                     prefer_native=False)[cid]])
+        ).sum()
+        for i in range(2)
+    ]
+    assert moved[0] != moved[1]  # stochastic designs differ
+
+    # FASTA letters come from the 20-AA alphabet
+    aa_letters = set(THREE_TO_ONE.values()) | {"X"}
+    assert all(set(s) <= aa_letters for s in seqs)
+
+
+@pytest.mark.slow
+def test_cli_sample_from_raw_pdb(workdir, trained):
+    out = workdir / "designs_pdb"
+    rc = sample_cli.main([
+        "--pdb", FIXTURE, "--heavy-chain-id", "H", "--light-chain-id", "L",
+        "--antigen-chain-ids", "A",
+        "--checkpoint-dir", str(trained),
+        "--tiny", "-n", "2", "--cdrs", "H3", "--t-restart", "20",
+        "-o", str(out),
+    ])
+    assert rc == 0
+    assert (out / "design_0001.pdb").exists()
+    chains = parse_pdb_file(str(out / "design_0001.pdb"), prefer_native=False)
+    assert "H" in chains and len(chains["H"]) > 50
