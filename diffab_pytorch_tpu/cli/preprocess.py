@@ -7,7 +7,8 @@ TPU-native equivalent of BOTH reference entry points:
     README.md:36-40) — bulk mode via --meta/--data-dir/--out-dir with a
     multiprocessing pool and --keep-going semantics (bad PDBs are logged
     and skipped, the only fault-tolerance policy the reference has,
-    SURVEY.md §5.3).
+    SURVEY.md §5.3).  This bulk mode IS the pipeline — there is no
+    snakemake dependency (DESIGN.md §2 #16).
 
 meta.csv format (reference data/meta.csv): columns pdb_id, Hchain, Lchain,
 antigen_chain; 'nan' chain ids mean absent (preprocess.smk:19-21); multi-
