@@ -22,6 +22,36 @@ import time
 
 import jax
 
+# peak dense bf16 FLOP/s per chip by device kind (substring match)
+_PEAK_BF16 = [
+    ("v6", 918e12),
+    ("v5p", 459e12),
+    ("v5 lite", 197e12),
+    ("v5e", 197e12),
+    ("v4", 275e12),
+]
+
+
+def peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _PEAK_BF16:
+        if sub in kind:
+            return peak
+    return 197e12  # default to v5e
+
+
+def compiled_flops(jitted, *args) -> float:
+    """FLOPs per call from XLA's own cost model; 0.0 when the backend
+    cannot report it (the analysis runs on the lowered module, so it works
+    on AOT/tunneled backends too when the plugin supports it)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
 
 def get_baseline() -> float:
     path = os.path.join(os.path.dirname(__file__) or ".", "baseline_torch.json")
@@ -73,6 +103,10 @@ def main():
     dt = time.time() - t0
     samples_per_sec = BSZ * n_iters / dt
 
+    # MFU: XLA-counted FLOPs per sample batch / wall / peak bf16
+    flops = compiled_flops(sample_fn, state.params, batch, keys[0])
+    mfu = (flops * n_iters / dt) / peak_flops(jax.devices()[0]) if flops else None
+
     # secondary: train step throughput (batch 16, reference-default model)
     train_batch = synthetic_batch(jax.random.key(4), 16, L, cfg.model.n_atoms)
     step_fn = harness.make_train_step(donate=False)
@@ -101,6 +135,10 @@ def main():
         "sample_batch_size": BSZ,
         "compile_seconds": round(compile_s, 1),
         "device": str(jax.devices()[0]),
+        "sample_tflops_per_sec": (
+            round(flops * n_iters / dt / 1e12, 2) if flops else None
+        ),
+        "mfu_pct": round(100 * mfu, 2) if mfu is not None else None,
     }
     print(json.dumps(out))
 

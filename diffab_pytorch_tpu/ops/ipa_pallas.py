@@ -7,14 +7,19 @@ batch element:
     scalar logits + pair bias + point-distance logits -> masked softmax ->
     three attention-weighted reductions (scalar values, pair rows, points)
 
-without ever materializing the (b, h, L, L) attention tensor in HBM.  The
-pair-bias projection stays OUTSIDE the kernel (it is one well-shaped MXU
-matmul that XLA handles, and it is invariant across scan steps); the pair
-tensor enters the kernel TRANSPOSED to (b, L, d_pair, L) so its lane
-dimension is L = 128 (Mosaic requires 128-aligned lanes on batch-sliced
-blocks — d_pair = 64 is not).  The point-distance term uses the same
-|q|^2+|k|^2-2qk expansion as the jnp path (models/ipa.py), so outputs are
-bit-comparable.
+without materializing any of the five (b, h, L, L) f32 logit intermediates
+the XLA path streams through HBM.  Two pieces deliberately stay OUTSIDE
+the kernel: the pair-bias projection (one well-shaped MXU matmul, invariant
+across scan steps — precomputed per design) and the attended-pair-rows
+reduction (a (b, i)-batched matmul XLA lowers well; keeping pair out of
+the kernel avoids a (L, d_pair, L) VMEM-resident block and a per-step
+transposed relayout of the biggest tensor in the model).  The kernel emits
+the attention weights for that reduction — one (b, h, L, L) bf16 tensor
+instead of five f32 ones.  The point-distance term uses the
+|q|^2+|k|^2-2qk expansion folded into the scalar-QK contraction via row
+augmentation (one matmul computes logit_scalar + logit_point, and gamma is
+pre-multiplied into the point projections), so outputs match the jnp path
+(models/ipa.py) to accumulation order.
 
 Gradients: `fused_ipa_attention` carries a custom VJP whose backward pass
 differentiates the identical pure-jnp computation — the kernel accelerates
@@ -73,54 +78,40 @@ def _attention_core_jnp(
 
 
 def _kernel(
-    q_s_ref, k_s_ref, v_s_ref,  # (h, ds, L) — transposed: L is the lane dim
-    q_p_ref, k_p_ref, v_p_ref,  # (h, P*3, L)
-    pair_t_ref,  # (L, dp, L) — pair transposed
+    q_ref, k_ref,  # (h, F, L) augmented projections — see _pallas_forward
+    v_s_ref,  # (h, ds, L)
+    v_p_ref,  # (h, P*3, L)
     bias_ref,  # (h, L, L) — precomputed pair-bias logits
-    gamma_ref,  # (1, h)
-    mask_ref,  # (1, L)
     out_s_ref,  # (h, ds, L)
-    out_pair_ref,  # (L, h, dp)
     out_p_ref,  # (h, P*3, L)
+    attn_ref,  # (h, L, L) — attention weights (pair reduction runs in XLA)
     *,
-    scale_scalar: float,
-    scale_point: float,
     scale_total: float,
 ):
     """Head-BATCHED formulation: every contraction is one dot_general with
     the head axis as a batch dimension (no per-head Python loop — Mosaic
     unrolls loops into h separate small ops, while batched dots pipeline on
-    the MXU).  Matmuls run in the INPUT dtype (bf16 on TPU) with f32
-    accumulation; logit algebra and softmax stay f32.  The (features, L)
-    layout keeps L as the lane dimension (Mosaic requires 128-aligned lane
-    slices; per-head feature widths like 192 cannot satisfy that)."""
+    the MXU).  The scalar-QK, point-distance, and gamma terms are all folded
+    into ONE augmented matmul by the caller (q_aug . k_aug = logit_scalar +
+    logit_point), so the kernel body is free of the rank-changing reshapes
+    and tiny-vector broadcasts Mosaic cannot lower (e.g. (h,) -> (h,1,1)).
+    Matmuls run in the INPUT dtype (bf16 on TPU) with f32 accumulation;
+    softmax stays f32.  The (features, L) layout keeps L as the lane
+    dimension (Mosaic requires 128-aligned lane slices; per-head feature
+    widths like 192 cannot satisfy that)."""
     f32 = jnp.float32
-    dt_in = q_s_ref.dtype
+    dt_in = q_ref.dtype
 
-    mask_row = mask_ref[0, :]  # (L,)
-    neg = jnp.where(mask_row > 0, 0.0, _NEG_INF)[None, None, :]  # (1, 1, L)
-    gamma = gamma_ref[0, :].astype(f32)  # (h,)
-
-    # logit[h, i, j] = sum_d q[h, d, i] k[h, d, j]
-    qk_dot = lambda a, b_: jax.lax.dot_general(
-        a, b_, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+    # logit[h, i, j] = sum_f q_aug[h, f, i] k_aug[h, f, j]
+    logit = jax.lax.dot_general(
+        q_ref[:], k_ref[:],
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=f32,
     )  # (h, L, L)
-
-    logit = qk_dot(q_s_ref[:], k_s_ref[:]) * scale_scalar  # (h, L, L) f32
-
-    qp = q_p_ref[:]  # (h, p3, L)
-    kp = k_p_ref[:]
-    cross = qk_dot(qp, kp)  # (h, L, L)
-    qp32 = qp.astype(f32)
-    kp32 = kp.astype(f32)
-    q_sq = jnp.sum(qp32 * qp32, axis=1)  # (h, L)
-    k_sq = jnp.sum(kp32 * kp32, axis=1)
-    sq_dist = q_sq[:, :, None] + k_sq[:, None, :] - 2.0 * cross
-    logit = logit - (0.5 * scale_point) * gamma[:, None, None] * sq_dist
-
+    # key masking is already inside the augmented contraction (a dedicated
+    # row pair adds -1e9/scale_total on padded keys), so the kernel touches
+    # no sub-tile mask block and no boolean vectors
     logit = (logit + bias_ref[:].astype(f32)) * scale_total
-    logit = logit + neg  # mask padded keys
 
     m = jnp.max(logit, axis=-1, keepdims=True)
     e = jnp.exp(logit - m)
@@ -134,16 +125,7 @@ def _kernel(
     )
     out_s_ref[:] = v_dot(v_s_ref[:]).astype(out_s_ref.dtype)
     out_p_ref[:] = v_dot(v_p_ref[:]).astype(out_p_ref.dtype)
-
-    # attended pair rows, ALL heads in one batched-over-queries dot:
-    # out[i, h, d] = sum_j attn[h, i, j] pair_t[i, d, j]
-    attn_ib = jnp.transpose(attn_in, (1, 0, 2))  # (i, h, j)
-    out_pair = jax.lax.dot_general(
-        attn_ib, pair_t_ref[:],
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=f32,
-    )  # (i, h, dp)
-    out_pair_ref[:] = out_pair.astype(out_pair_ref.dtype)
+    attn_ref[:] = attn_in
 
 
 def _pallas_forward(
@@ -153,21 +135,47 @@ def _pallas_forward(
     b, L, h, ds = q_s.shape
     pq = q_p.shape[3]
     pv = v_p.shape[3]
-    dp = pair.shape[-1]
     if pq != pv:
         raise ValueError("pallas kernel assumes n_query_points == n_value_points")
     dt = q_s.dtype
 
-    pair_t = jnp.swapaxes(pair, -1, -2)  # (b, L, dp, L): lane dim = L
-
     # head-batched (h, features, L) layout so L is always the lane dimension
     head_t = lambda x: jnp.transpose(x.reshape(b, L, h, -1), (0, 2, 3, 1))
-    kernel = functools.partial(
-        _kernel,
-        scale_scalar=float(scale_scalar),
-        scale_point=float(scale_point),
-        scale_total=float(scale_total),
+
+    # Fold the point-distance logits into the scalar-QK matmul (one MXU
+    # contraction computes both, and gamma never enters the kernel):
+    #   logit = ss * q_s.k_s - 0.5*sp*gamma * (|q_p|^2 + |k_p|^2 - 2 q_p.k_p)
+    # With q' = a*q_p, k' = a*k_p, a = sqrt(0.5*sp*gamma):
+    #   q_aug = [ss*q_s | 2q' | -|q'|^2 | -1],  k_aug = [k_s | k' | 1 | |k'|^2]
+    g = jnp.sqrt(0.5 * scale_point * gamma.astype(jnp.float32))  # (h,)
+    qp_t = head_t(q_p) * g[None, :, None, None].astype(dt)  # (b, h, p3, L)
+    kp_t = head_t(k_p) * g[None, :, None, None].astype(dt)
+    q_sq = jnp.sum(qp_t.astype(jnp.float32) ** 2, axis=2, keepdims=True)
+    k_sq = jnp.sum(kp_t.astype(jnp.float32) ** 2, axis=2, keepdims=True)
+    ones = jnp.ones_like(q_sq)  # (b, h, 1, L)
+    # key-mask row pair: q contributes 1, k contributes -1e9/st on padded
+    # keys — the mask rides the same contraction (Mosaic cannot lift the
+    # sub-tile (1, 1, L) mask block a separate input would need)
+    neg_k = jnp.broadcast_to(
+        ((mask.astype(jnp.float32) - 1.0) * (-_NEG_INF / float(scale_total)))[
+            :, None, None, :
+        ],
+        ones.shape,
     )
+    q_aug = jnp.concatenate(
+        [head_t(q_s) * jnp.asarray(scale_scalar, dt), 2.0 * qp_t,
+         (-q_sq).astype(dt), (-ones).astype(dt), ones.astype(dt)], axis=2,
+    )  # (b, h, F, L)
+    k_aug = jnp.concatenate(
+        [head_t(k_s), kp_t, ones.astype(dt), k_sq.astype(dt),
+         neg_k.astype(dt)], axis=2,
+    )
+    # pad the augmented feature dim to the sublane tile (16 for bf16);
+    # zero rows are inert in the contraction
+    F = -(-q_aug.shape[2] // 16) * 16
+    padding = [(0, 0), (0, 0), (0, F - q_aug.shape[2]), (0, 0)]
+    q_aug = jnp.pad(q_aug, padding)
+    k_aug = jnp.pad(k_aug, padding)
 
     def head_spec(height):
         return pl.BlockSpec((1, h, height, L), lambda i: (i, 0, 0, 0),
@@ -176,53 +184,52 @@ def _pallas_forward(
     grid_spec = pl.GridSpec(
         grid=(b,),
         in_specs=[
-            head_spec(ds), head_spec(ds), head_spec(ds),
-            head_spec(pq * 3), head_spec(pq * 3), head_spec(pv * 3),
-            pl.BlockSpec((1, L, dp, L), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            head_spec(F), head_spec(F),
+            head_spec(ds), head_spec(pv * 3),
             head_spec(L),
-            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            head_spec(ds),
-            pl.BlockSpec((1, L, h, dp), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            head_spec(pv * 3),
+            head_spec(ds), head_spec(pv * 3), head_spec(L),
         ],
     )
 
+    kernel = functools.partial(_kernel, scale_total=float(scale_total))
+
     # block shapes carry a leading 1 (batch); squeeze inside via index 0
-    def kernel_wrap(qs, ks, vs, qp, kp, vp, prt, bi, g, m, os, op, opt):
-        kernel(
-            qs.at[0], ks.at[0], vs.at[0], qp.at[0], kp.at[0], vp.at[0],
-            prt.at[0], bi.at[0], g, m.at[0], os.at[0], op.at[0], opt.at[0],
-        )
+    def kernel_wrap(q, k, vs, vp, bi, os, opt, at):
+        kernel(q.at[0], k.at[0], vs.at[0], vp.at[0], bi.at[0],
+               os.at[0], opt.at[0], at.at[0])
 
     out_shapes = [
         jax.ShapeDtypeStruct((b, h, ds, L), dt),
-        jax.ShapeDtypeStruct((b, L, h, dp), dt),
         jax.ShapeDtypeStruct((b, h, pv * 3, L), dt),
+        jax.ShapeDtypeStruct((b, h, L, L), dt),
     ]
-    flops_per_b = 2 * h * L * L * (2 * ds + 2 * pq * 3 + dp)
-    out_s, out_pair, out_p = pl.pallas_call(
+    flops_per_b = 2 * h * L * L * (F + ds + pq * 3)
+    out_s, out_p, attn = pl.pallas_call(
         kernel_wrap,
         out_shape=out_shapes,
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=b * flops_per_b,
-            bytes_accessed=pair_t.size * pair_t.dtype.itemsize
-            + b * h * L * L * bias.dtype.itemsize,
+            bytes_accessed=b * h * L * L * 2 * bias.dtype.itemsize,
             transcendentals=b * h * L * L,
         ),
         # interpret on CPU so the kernel is testable on the faked mesh
         interpret=jax.default_backend() == "cpu",
-    )(
-        head_t(q_s), head_t(k_s), head_t(v_s),
-        head_t(q_p), head_t(k_p), head_t(v_p),
-        pair_t, bias, gamma.reshape(1, h),
-        mask.astype(dt)[:, None, :],
-    )
+    )(q_aug, k_aug, head_t(v_s), head_t(v_p), bias)
+
+    # attended pair rows OUTSIDE the kernel: XLA lowers this (b, i)-batched
+    # (h, j) x (j, dp) contraction straight onto the MXU reading pair once,
+    # and keeping pair out of the kernel spares the (L, dp, L) VMEM block
+    # and its per-step transposed relayout.  Batch dims are given in-place
+    # ((b, h, i, j) batched on (0, 2)) so XLA picks layouts instead of a
+    # materialized transpose.
+    out_pair = jax.lax.dot_general(
+        attn, pair.astype(dt),
+        dimension_numbers=(((3,), (2,)), ((0, 2), (0, 1))),
+    )  # (b, i, h, dp)
+
     unhead = lambda x: jnp.transpose(x, (0, 3, 1, 2))  # (b, L, h, f)
     return (
         unhead(out_s),

@@ -101,28 +101,26 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     p_shard = param_sharding(state.params, mesh)
     params = jax.device_put(state.params, p_shard)
 
-    # Adam moments mirror the param tree inside optax state; leaves are
-    # matched to param shardings by (shape, dtype).  Limitation: if two
-    # params shared a shape but had DIFFERENT shardings, the first would
-    # win — at most a performance (resharding) cost, never incorrectness,
-    # since GSPMD re-shards on use.  With the current sharding rules the
-    # col-/row-parallel kernels have distinct shapes, so the match is exact.
+    # Adam moments inside optax state mirror the param tree EXACTLY, so the
+    # param shardings transfer by tree alignment: any opt-state subtree
+    # whose pytree structure equals the param tree (mu, nu, adamw's nu_hat,
+    # ...) is mapped leaf-for-leaf against p_shard; everything else
+    # (step counts, empty states) is replicated.
+    p_treedef = jax.tree_util.tree_structure(state.params)
+    rep = replicated(mesh)
+
+    def is_param_shaped(sub) -> bool:
+        return jax.tree_util.tree_structure(sub) == p_treedef
+
     def place_opt(opt_state):
-        flat_params = jax.tree_util.tree_leaves(state.params)
-        flat_shard = jax.tree_util.tree_leaves(p_shard)
-        shard_by_shape = {}
-        for leaf, sh in zip(flat_params, flat_shard):
-            shard_by_shape.setdefault((leaf.shape, str(leaf.dtype)), sh)
+        def place(sub):
+            if is_param_shaped(sub):
+                return jax.tree.map(jax.device_put, sub, p_shard)
+            if hasattr(sub, "shape"):
+                return jax.device_put(sub, rep)
+            return sub
 
-        def smart_put(x):
-            if hasattr(x, "shape"):
-                sh = shard_by_shape.get(
-                    (x.shape, str(x.dtype)), replicated(mesh)
-                )
-                return jax.device_put(x, sh)
-            return x
-
-        return jax.tree.map(smart_put, opt_state)
+        return jax.tree.map(place, opt_state, is_leaf=is_param_shaped)
 
     return TrainState(
         step=jax.device_put(state.step, replicated(mesh)),
