@@ -48,8 +48,11 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Fused Pallas attention core (ops/ipa_pallas.py): one VMEM-resident
     # kernel for logits+softmax+reductions.  Forward-path acceleration
-    # (sampling); backward differentiates the identical jnp math.
-    use_pallas_attention: bool = False
+    # (sampling: 1.08x measured on v5e at batch 32); backward
+    # differentiates the identical jnp math.  None = auto: ON when the
+    # default backend is TPU, OFF elsewhere (the CPU fallback would run in
+    # slow interpret mode).  True/False force it either way.
+    use_pallas_attention: bool | None = None
     # Rematerialize IPA layers in the backward pass (jax.checkpoint):
     # trades ~1 extra forward for not storing per-layer activations —
     # enables much larger training batches (HBM is the binding constraint

@@ -1,5 +1,8 @@
 from diffab_pytorch_tpu.evaluation.metrics import (
+    aligned_ca_rmsd,
     amino_acid_recovery,
     ca_rmsd,
     evaluate_designs,
+    kabsch,
+    sequence_diversity,
 )

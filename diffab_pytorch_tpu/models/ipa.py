@@ -150,9 +150,13 @@ class InvariantPointAttentionLayer(nn.Module):
                     bias_dense(pair.astype(dt)), -1, 1
                 )  # (b, h, L, L)
 
-        use_pallas = (
-            cfg.use_pallas_attention and cfg.use_pair_bias and pq == pv
-        )
+        pallas_flag = cfg.use_pallas_attention
+        if pallas_flag is None:
+            # auto: the kernel beats the XLA path on TPU (1.08x sampler
+            # throughput, DESIGN.md §3); on CPU it would run in interpret
+            # mode, which is orders of magnitude slower than XLA
+            pallas_flag = jax.default_backend() == "tpu"
+        use_pallas = pallas_flag and cfg.use_pair_bias and pq == pv
         if use_pallas:
             from diffab_pytorch_tpu.ops.ipa_pallas import fused_ipa_attention
 

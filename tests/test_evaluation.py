@@ -33,6 +33,79 @@ def test_rmsd_basics():
     np.testing.assert_allclose(ca_rmsd(y, x, mask, scale=10.0), [10 * np.sqrt(12.5)], rtol=1e-6)
 
 
+def test_kabsch_recovers_rigid_motion():
+    """A rigidly moved cloud superposes back exactly; aligned RMSD -> 0."""
+    from diffab_pytorch_tpu.evaluation import aligned_ca_rmsd, kabsch
+
+    rng = np.random.default_rng(0)
+    native = jnp.asarray(rng.normal(size=(2, 12, 3)).astype(np.float32))
+    theta = 0.7
+    rot = jnp.asarray(
+        np.array(
+            [[np.cos(theta), -np.sin(theta), 0],
+             [np.sin(theta), np.cos(theta), 0],
+             [0, 0, 1.0]], np.float32)
+    )
+    moved = jnp.einsum("bli,ij->blj", native, rot) + jnp.array([1.0, -2.0, 3.0])
+    mask = jnp.ones((2, 12), bool)
+
+    r, t = kabsch(moved, native, mask)
+    back = jnp.einsum("bli,bij->blj", moved, r) + t[:, None]
+    np.testing.assert_allclose(np.asarray(back), np.asarray(native), atol=1e-4)
+    # proper rotations
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.det(r)), np.ones(2), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(aligned_ca_rmsd(moved, native, mask, mask)),
+        np.zeros(2), atol=1e-4,
+    )
+
+
+def test_aligned_rmsd_scores_only_the_cdr():
+    """Context fits the superposition; displacement of the scored region
+    survives it (a translation of a disjoint subset cannot be fully
+    absorbed by a context-only rigid fit)."""
+    from diffab_pytorch_tpu.evaluation import aligned_ca_rmsd
+
+    rng = np.random.default_rng(1)
+    native = jnp.asarray(rng.normal(size=(1, 20, 3)).astype(np.float32) * 5)
+    gen = jnp.zeros((1, 20), bool).at[:, 8:12].set(True)
+    ctx = ~gen
+    pred = jnp.where(gen[..., None], native + jnp.array([0.0, 0.0, 2.0]), native)
+    r = aligned_ca_rmsd(pred, native, gen, ctx)
+    assert 1.5 < float(r[0]) <= 2.01
+
+
+def test_sequence_diversity_extremes():
+    from diffab_pytorch_tpu.evaluation import sequence_diversity
+
+    mask = jnp.array([True, True, True, False])
+    same = jnp.tile(jnp.array([[1, 2, 3, 9]]), (4, 1))
+    assert float(sequence_diversity(same, mask)) == 0.0
+    # all-different at every masked position
+    diff = jnp.array([[1, 1, 1, 0], [2, 2, 2, 0], [3, 3, 3, 0]])
+    np.testing.assert_allclose(float(sequence_diversity(diff, mask)), 1.0)
+
+
+def test_evaluate_designs_per_cdr_breakdown():
+    """cdr_idx adds aar_H3 / ca_rmsd_H3 keys scoped to that CDR's mask."""
+    from diffab_pytorch_tpu.sampling.sampler import SampleResult
+
+    batch = synthetic_batch(jax.random.key(0), 2, 24, 15, n_generate=6)
+    cdr_idx = jnp.where(batch.generation_mask, 3, 0)  # all generated = H3
+    result = SampleResult(
+        seq_idx=batch.seq_idx,
+        translations=batch.translations,
+        orientations=batch.orientations,
+    )
+    out = evaluate_designs(batch=batch, result=result, cdr_idx=cdr_idx)
+    assert "aar_H3" in out and "ca_rmsd_H3" in out
+    assert "aar_L1" not in out  # no L1 in the generation mask
+    np.testing.assert_allclose(np.asarray(out["aar_H3"]), np.ones(2))
+    np.testing.assert_allclose(np.asarray(out["ca_rmsd_H3"]), np.zeros(2), atol=1e-6)
+
+
 @pytest.mark.slow
 def test_overfit_then_optimize_beats_untrained():
     """Train the tiny model on ONE synthetic complex, then check
