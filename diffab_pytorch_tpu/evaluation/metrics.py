@@ -123,13 +123,17 @@ def evaluate_designs(
     coord_scale: float = 1.0,
     cdr_idx: Optional[jax.Array] = None,  # (b, L) int — per-residue CDR label
     align: bool = False,
+    cdrs: Optional[tuple] = None,  # static CDR-name subset for jit
 ) -> Dict[str, jax.Array]:
     """Standard design metrics for a sampler output against its input batch.
 
     cdr_idx (the patch's stored per-CDR labels, structure/patch.py) adds a
-    per-CDR breakdown: aar_H3, ca_rmsd_H3, ... for every CDR present in the
-    generation mask.  align=True scores RMSD after Kabsch superposition on
-    the context residues (useful when frames were re-sampled)."""
+    per-CDR breakdown: aar_H3, ca_rmsd_H3, ...  With cdrs=None the CDRs
+    present in the generation mask are discovered from the data — which
+    requires concrete arrays (NOT jit-traceable).  Under jit, pass the CDR
+    names statically, e.g. cdrs=("H3",).  align=True scores RMSD after
+    Kabsch superposition on the context residues (useful when frames were
+    re-sampled)."""
     gen = batch.generation_mask & batch.residue_mask
     ctx = batch.residue_mask & ~batch.generation_mask
 
@@ -151,9 +155,14 @@ def evaluate_designs(
         for name, code in CDR.__members__.items():
             if code == CDR.NONE:
                 continue
+            if cdrs is not None:
+                if name not in cdrs:
+                    continue
+            else:
+                cdr_mask_probe = gen & (cdr_idx == int(code))
+                if not bool(cdr_mask_probe.any()):
+                    continue
             cdr_mask = gen & (cdr_idx == int(code))
-            if not bool(cdr_mask.any()):
-                continue
             out[f"aar_{name}"] = amino_acid_recovery(
                 result.seq_idx, batch.seq_idx, cdr_mask
             )

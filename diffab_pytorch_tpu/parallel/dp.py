@@ -20,6 +20,8 @@ jax.distributed.initialize() with a global mesh.
 
 from __future__ import annotations
 
+import copy
+import dataclasses
 from functools import partial
 
 import jax
@@ -29,8 +31,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from diffab_pytorch_tpu.data.batch import ProteinBatch
+from diffab_pytorch_tpu.models import DiffAbModel
 from diffab_pytorch_tpu.parallel.mesh import DP_AXIS, batch_sharding, param_sharding, replicated
 from diffab_pytorch_tpu.train.harness import DiffAb, TrainState
+
+
+def _xla_attention_harness(harness: DiffAb) -> DiffAb:
+    """A functionally identical harness with the fused Pallas attention
+    forced OFF, for the GSPMD code paths below.
+
+    GSPMD partitions programs by propagating shardings through known HLO
+    ops; a `pallas_call` is an opaque custom call it cannot split, so the
+    kernel is only safe where tracing happens at per-device LOCAL shapes
+    (the shard_map dp path keeps it).  The plain-jit sharded train step and
+    sampling fan-out trace at GLOBAL shapes and must use the pure-XLA
+    attention path.  The flag only selects the computation; the parameter
+    tree is identical, so states/checkpoints interchange freely.  Shallow
+    copy: schedule/IGSO3 tables and the optimizer are shared, not rebuilt.
+    """
+    mcfg = harness.config.model
+    if mcfg.use_pallas_attention is False:
+        return harness
+    clone = copy.copy(harness)
+    clone.config = dataclasses.replace(
+        harness.config,
+        model=dataclasses.replace(mcfg, use_pallas_attention=False),
+    )
+    clone.model = DiffAbModel(clone.config.model)
+    return clone
 
 
 def make_dp_train_step(harness: DiffAb, mesh: Mesh, donate: bool = True):
@@ -85,7 +113,9 @@ def make_dp_train_step(harness: DiffAb, mesh: Mesh, donate: bool = True):
 
 def make_sharded_train_step(harness: DiffAb, mesh: Mesh, donate: bool = True):
     """GSPMD train step: jit with sharding constraints; XLA partitions the
-    whole loss+grad+update program over (dp, tp)."""
+    whole loss+grad+update program over (dp, tp).  Uses the pure-XLA
+    attention path (see _xla_attention_harness)."""
+    harness = _xla_attention_harness(harness)
     bs = batch_sharding(mesh)
 
     def step(state, batch, key):
@@ -143,6 +173,7 @@ def sample_sharded(
     The batch leading dim must be divisible by the dp axis size; replicate
     one target complex into b rows for b parallel designs.
     """
+    harness = _xla_attention_harness(harness)
     b = batch.batch_size
     ndp = mesh.shape[DP_AXIS]
     if b % ndp:

@@ -1,0 +1,255 @@
+"""Trained-quality recipe: the numbers behind QUALITY.md.
+
+Corpus -> preprocess -> train -> checkpoint -> sample -> evaluate, end to
+end through the public package surface, on whatever backend is default
+(the real TPU chip in this environment; --smoke forces CPU + tiny preset
+for a fast self-check).
+
+The corpus is the LEARNABLE synthetic family corpus (data/synthetic.py):
+F families, each pairing a framework barcode (visible context) with a fixed
+CDR-H3 sequence motif and a family-specific loop conformation.  No real
+SAbDab snapshot exists in this zero-egress environment; the reference
+itself ships no data and no trained numbers (README "Reproduction status:
+WIP").  The corpus makes training measurable: amino-acid recovery on
+held-out complexes is chance (~1/20) for an untrained model and approaches
+1.0 iff the model actually learned the barcode->motif/conformation joint.
+
+Usage (full run, ~15 min wall on one v5e through the remote tunnel):
+  python scripts/quality_run.py --workdir runs/quality
+  python scripts/quality_run.py --smoke        # CPU, tiny, ~3 min
+
+Outputs {workdir}/quality.json with untrained-vs-trained metrics for both
+sampling modes (codesign from the prior; t-restart optimization).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default="runs/quality")
+    p.add_argument("--families", type=int, default=8)
+    p.add_argument("--per-family", type=int, default=48)
+    p.add_argument("--val-per-family", type=int, default=4)
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("-b", "--bsz", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--designs-per-target", type=int, default=8)
+    p.add_argument("--t-restart", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--smoke", action="store_true",
+                   help="CPU backend, tiny preset, 2 families, 60 steps")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.families, args.per_family, args.val_per_family = 2, 6, 2
+        args.steps, args.bsz, args.designs_per_target = 60, 8, 4
+        args.t_restart = 10
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffab_pytorch_tpu.cli.preprocess import process_one
+    from diffab_pytorch_tpu.config import (
+        TrainConfig, default_config, tiny_config,
+    )
+    from diffab_pytorch_tpu.data.dataset import (
+        COORD_SCALE, PatchDataset, assemble_batch,
+    )
+    from diffab_pytorch_tpu.data.loader import PrefetchLoader
+    from diffab_pytorch_tpu.data.synthetic import write_family_corpus
+    from diffab_pytorch_tpu.evaluation import (
+        evaluate_designs, sequence_diversity,
+    )
+    from diffab_pytorch_tpu.train import DiffAb
+    from diffab_pytorch_tpu.train.checkpoint import save_checkpoint
+
+    t0 = time.time()
+    log = lambda msg: print(f"[quality +{time.time()-t0:7.1f}s] {msg}", flush=True)
+    os.makedirs(args.workdir, exist_ok=True)
+
+    # ---- 1. corpus + preprocess (host, numpy) ------------------------
+    npz_dir = os.path.join(args.workdir, "npz")
+    want = args.families * args.per_family
+    if len(glob.glob(os.path.join(npz_dir, "*.npz"))) != want:
+        log(f"generating corpus: {args.families} families x {args.per_family}")
+        write_family_corpus(
+            args.workdir, n_families=args.families,
+            n_per_family=args.per_family, seed=args.seed,
+        )
+        os.makedirs(npz_dir, exist_ok=True)
+        for f in range(args.families):
+            for i in range(args.per_family):
+                pdb_id = f"fam{f}_s{i}"
+                process_one(
+                    os.path.join(args.workdir, "pdb", f"{pdb_id}.pdb"),
+                    os.path.join(npz_dir, f"{pdb_id}.npz"),
+                    "H", "L", "A", 128,
+                )
+        log(f"preprocessed {want} complexes")
+    else:
+        log(f"reusing {want} preprocessed complexes in {npz_dir}")
+
+    # held-out: the last val_per_family jitter instances of EVERY family
+    val_ids = {
+        f"fam{f}_s{i}"
+        for f in range(args.families)
+        for i in range(args.per_family - args.val_per_family, args.per_family)
+    }
+    all_paths = sorted(glob.glob(os.path.join(npz_dir, "*.npz")))
+    stem = lambda p: os.path.splitext(os.path.basename(p))[0]
+    train_paths = [p for p in all_paths if stem(p) not in val_ids]
+    val_paths = [p for p in all_paths if stem(p) in val_ids]
+    log(f"split: {len(train_paths)} train / {len(val_paths)} val patches")
+
+    train_ds = PatchDataset(train_paths, cdrs_to_generate=["H3"])
+    val_ds = PatchDataset(val_paths, cdrs_to_generate=["H3"])
+
+    # ---- 2. model ------------------------------------------------------
+    cfg = tiny_config() if args.smoke else default_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            compute_dtype="float32" if args.smoke else "bfloat16",
+        ),
+        train=TrainConfig(batch_size=args.bsz, lr=args.lr, seed=args.seed),
+    )
+    harness = DiffAb(cfg)
+    sample0 = assemble_batch([train_ds[0]], ["H3"])[0]
+    state = harness.init(jax.random.key(args.seed), sample0)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    log(f"model: {n_params/1e6:.2f} M params, dtype={cfg.model.compute_dtype}, "
+        f"backend={jax.default_backend()}")
+    untrained_params = state.params
+
+    # ---- 3. evaluation harness ------------------------------------------
+    # ONE jitted program per sampling mode: reverse scan + all metrics.
+    # Anything less (eager harness.sample / evaluate_designs per target)
+    # pays a host round-trip per op on the tunneled backend — the original
+    # version of this script spent 10+ minutes where this spends seconds.
+    n_designs = args.designs_per_target
+
+    def make_eval_fn(t_start):
+        def _eval(params, batch, cdr_idx, key):
+            res = harness.sample(params, batch, key, t_start=t_start)
+            m = evaluate_designs(
+                res, batch, coord_scale=COORD_SCALE,
+                cdr_idx=cdr_idx, cdrs=("H3",), align=False,
+            )
+            m["ca_rmsd_aligned"] = evaluate_designs(
+                res, batch, coord_scale=COORD_SCALE, align=True
+            )["ca_rmsd"]
+            m["diversity"] = sequence_diversity(
+                res.seq_idx, batch.generation_mask[0]
+            )
+            return m
+
+        return jax.jit(_eval)
+
+    eval_fns = {
+        "codesign": make_eval_fn(None),
+        "optimize": make_eval_fn(args.t_restart),
+    }
+
+    def eval_params(params, label):
+        """Sample n_designs per held-out target, both modes, all metrics."""
+        rows = {m: [] for m in eval_fns}
+        for vi in range(len(val_ds)):
+            raw = val_ds[vi]
+            batch, _ = assemble_batch([raw] * n_designs, ["H3"])
+            cdr_idx = jnp.asarray(np.stack([raw["cdr_idx"]] * n_designs))
+            key = jax.random.fold_in(jax.random.key(args.seed + 7), vi)
+            for mode, fn in eval_fns.items():
+                m = jax.device_get(fn(params, batch, cdr_idx, key))
+                rows[mode].append(m)
+        out = {}
+        for mode in rows:
+            agg = {}
+            for k in rows[mode][0]:
+                vals = np.concatenate(
+                    [np.atleast_1d(r[k]) for r in rows[mode]]
+                )
+                agg[k] = float(np.mean(vals))
+                agg[k + "_std"] = float(np.std(vals))
+            out[mode] = agg
+            log(f"{label}/{mode}: aar={agg['aar']:.3f} "
+                f"rmsd={agg['ca_rmsd']:.2f}A "
+                f"div={agg['diversity']:.3f}")
+        return out
+
+    log("evaluating UNTRAINED model on held-out targets")
+    results = {"untrained": eval_params(untrained_params, "untrained")}
+
+    # ---- 4. train --------------------------------------------------------
+    log(f"training: {args.steps} steps @ batch {args.bsz}")
+    step_fn = harness.make_train_step()
+    base_key = jax.random.key(args.seed + 1)
+    loader = PrefetchLoader(
+        train_ds.batches(args.bsz, shuffle=True, seed=args.seed)
+    )
+    losses = []
+    t_train0 = time.time()
+    for i, (batch, _) in enumerate(loader):
+        if i >= args.steps:
+            break
+        state, metrics = step_fn(state, batch, base_key)
+        if i % max(1, args.steps // 20) == 0 or i == args.steps - 1:
+            loss = float(metrics["train/loss"])
+            losses.append({"step": i, "loss": loss})
+            log(f"step {i}: loss={loss:.4f}")
+    loader.close()
+    train_wall = time.time() - t_train0
+    sps = args.steps * args.bsz / train_wall
+    log(f"trained {args.steps} steps in {train_wall:.1f}s "
+        f"({sps:.0f} samples/s incl. host input pipeline)")
+
+    ckpt_dir = os.path.abspath(os.path.join(args.workdir, "checkpoints"))
+    save_checkpoint(ckpt_dir, state)
+    log(f"checkpoint saved to {ckpt_dir} @ step {int(state.step)}")
+
+    log("evaluating TRAINED model on held-out targets")
+    results["trained"] = eval_params(state.params, "trained")
+
+    results["meta"] = {
+        "families": args.families,
+        "train_patches": len(train_paths),
+        "val_patches": len(val_paths),
+        "designs_per_target": n_designs,
+        "steps": args.steps,
+        "batch_size": args.bsz,
+        "lr": args.lr,
+        "t_restart": args.t_restart,
+        "params_m": n_params / 1e6,
+        "backend": jax.default_backend(),
+        "compute_dtype": cfg.model.compute_dtype,
+        "train_samples_per_sec": sps,
+        "loss_curve": losses,
+    }
+    out_path = os.path.join(args.workdir, "quality.json")
+    with open(out_path, "w") as fh:
+        json.dump(results, fh, indent=2)
+    log(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

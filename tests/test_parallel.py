@@ -127,3 +127,30 @@ def test_sample_sharded_fanout(harness, batch):
     with pytest.raises(ValueError, match="divisible"):
         sample_sharded(harness, state.params, jax.tree.map(lambda x: x[:3], fan),
                        jax.random.key(10), mesh)
+
+
+def test_gspmd_paths_force_xla_attention(harness, batch):
+    """GSPMD cannot partition a pallas_call; the plain-jit sharded builders
+    must clone the harness with the kernel off — same param tree, same
+    loss, shared (not rebuilt) schedule tables."""
+    from diffab_pytorch_tpu.parallel.dp import _xla_attention_harness
+
+    cfg = dataclasses.replace(
+        harness.config,
+        model=dataclasses.replace(
+            harness.config.model, use_pallas_attention=True
+        ),
+    )
+    on = DiffAb(cfg)
+    off = _xla_attention_harness(on)
+    assert off.config.model.use_pallas_attention is False
+    assert off.sched is on.sched  # shared tables, no rebuild
+    assert off.optimizer is on.optimizer
+
+    state = on.init(jax.random.key(0), batch)
+    l_on = on.loss_fn(state.params, jax.random.key(1), batch)[1]["loss"]
+    l_off = off.loss_fn(state.params, jax.random.key(1), batch)[1]["loss"]
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-5)
+
+    # explicit False is a no-op (no clone)
+    assert _xla_attention_harness(off) is off
