@@ -1,0 +1,159 @@
+"""Evaluation CLI: designed PDBs vs the native complex -> design metrics.
+
+Closes the design loop the reference never had (its README stops at
+training; evaluation was left to the DiffAb paper's private tooling):
+
+  cli.preprocess  PDB -> patch
+  cli.sample      patch + checkpoint -> design_*.pdb + designs.fasta
+  cli.evaluate    designs + native patch -> AAR / RMSD / diversity   <- here
+
+Per design: amino-acid recovery over the designed CDR positions, CA RMSD
+in the native frame (the design's context is written back in native
+coordinates, so no alignment is needed), and context-aligned RMSD (Kabsch
+fit on the fixed residues — guards against any global drift).  Across
+designs: mean/std of each metric plus pairwise sequence diversity.
+
+Output: a human-readable table and optionally --json for machines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+from diffab_pytorch_tpu.constants import ATOM, CDR, CDR_NAMES
+from diffab_pytorch_tpu.data.dataset import generation_mask_from_cdr
+from diffab_pytorch_tpu.structure.patch import load_patch
+from diffab_pytorch_tpu.structure.pdb import parse_pdb_file
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--native-patch", required=True,
+                   help="Preprocessed .npz patch of the native complex "
+                        "(the cli.sample input)")
+    p.add_argument("--designs", required=True,
+                   help="Directory of design_*.pdb files (cli.sample "
+                        "output) or a glob pattern")
+    p.add_argument("--cdrs", nargs="+", default=["H3"],
+                   help="CDRs that were designed (must match cli.sample)")
+    p.add_argument("--json", default=None, help="Also write metrics JSON here")
+    return p.parse_args(argv)
+
+
+def _design_arrays(path: str, n_expected: int):
+    """Flatten a design PDB back into patch-ordered arrays.
+
+    cli.sample writes residues in patch row order (masked rows only), so
+    file order IS patch order; resseq/chain stay available as a guard."""
+    chains = parse_pdb_file(path)
+    seq, ca, resnums = [], [], []
+    for chain_id, residues in chains.items():
+        for r in residues:
+            seq.append(r.aa_index)
+            ca.append(r.xyz[ATOM.CA])
+            resnums.append(r.resseq)
+    if len(seq) != n_expected:
+        raise ValueError(
+            f"{path}: {len(seq)} residues, native patch has {n_expected}"
+        )
+    return np.array(seq), np.array(ca, np.float32), np.array(resnums)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    bad = set(args.cdrs) - set(CDR_NAMES)
+    if bad:
+        print(f"unknown CDRs {sorted(bad)}", file=sys.stderr)
+        return 2
+
+    native = load_patch(args.native_patch)
+    res_mask = native["residue_mask"].astype(bool)
+    gen_full = (
+        generation_mask_from_cdr(native["cdr_idx"], args.cdrs) & res_mask
+    )
+    # design PDBs contain only the valid (masked) rows, in patch order
+    gen = gen_full[res_mask]
+    ctx = ~gen
+    native_seq = native["seq_idx"][res_mask]
+    native_ca = native["xyz"][res_mask, ATOM.CA, :].astype(np.float32)
+    native_resnums = native["residue_number"][res_mask]
+    n_rows = int(res_mask.sum())
+
+    pattern = (
+        os.path.join(args.designs, "design_*.pdb")
+        if os.path.isdir(args.designs)
+        else args.designs
+    )
+    paths = sorted(glob.glob(pattern))
+    if not paths:
+        print(f"no designs match {pattern}", file=sys.stderr)
+        return 1
+
+    from diffab_pytorch_tpu.evaluation import (
+        aligned_ca_rmsd,
+        amino_acid_recovery,
+        ca_rmsd,
+        sequence_diversity,
+    )
+
+    rows = []
+    seqs = []
+    for path in paths:
+        seq, ca, resnums = _design_arrays(path, n_rows)
+        if not np.array_equal(resnums, native_resnums):
+            raise ValueError(
+                f"{path}: residue numbering differs from the native patch"
+            )
+        m = {
+            "design": os.path.basename(path),
+            "aar": float(
+                amino_acid_recovery(seq[None], native_seq[None], gen[None])[0]
+            ),
+            "ca_rmsd": float(ca_rmsd(ca[None], native_ca[None], gen[None])[0]),
+            "ca_rmsd_aligned": float(
+                aligned_ca_rmsd(
+                    ca[None], native_ca[None], gen[None], ctx[None]
+                )[0]
+            ),
+        }
+        rows.append(m)
+        seqs.append(seq)
+
+    diversity = float(
+        sequence_diversity(np.stack(seqs), gen)
+    ) if len(seqs) > 1 else 0.0
+
+    print(f"{'design':<20s} {'AAR':>6s} {'RMSD(A)':>8s} {'alnRMSD':>8s}")
+    for m in rows:
+        print(f"{m['design']:<20s} {m['aar']:>6.3f} "
+              f"{m['ca_rmsd']:>8.3f} {m['ca_rmsd_aligned']:>8.3f}")
+    agg = {
+        "n_designs": len(rows),
+        "cdrs": args.cdrs,
+        "aar_mean": float(np.mean([m["aar"] for m in rows])),
+        "aar_std": float(np.std([m["aar"] for m in rows])),
+        "ca_rmsd_mean": float(np.mean([m["ca_rmsd"] for m in rows])),
+        "ca_rmsd_std": float(np.std([m["ca_rmsd"] for m in rows])),
+        "ca_rmsd_aligned_mean": float(
+            np.mean([m["ca_rmsd_aligned"] for m in rows])
+        ),
+        "diversity": diversity,
+    }
+    print(f"{'mean':<20s} {agg['aar_mean']:>6.3f} {agg['ca_rmsd_mean']:>8.3f} "
+          f"{agg['ca_rmsd_aligned_mean']:>8.3f}   diversity={diversity:.3f}")
+
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump({"designs": rows, "aggregate": agg}, fh, indent=2)
+        print(f"[evaluate] wrote {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -18,6 +18,7 @@ Modes:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 
 import jax
@@ -98,10 +99,17 @@ def main(argv=None) -> int:
 
     os.makedirs(args.out_dir, exist_ok=True)
     seqs = np.asarray(result.seq_idx)
-    xyz_ca = (
-        np.asarray(result.translations) * norm.scale
-        + np.repeat(norm.center, args.n_samples, axis=0)[:, None, :]
+    # invert the pose normalization (center + canonical rotation + scale)
+    # for BOTH coordinates and frames — reconstruct_backbone places N/C/O
+    # from the frames, so they must be expressed in the same (native) pose
+    fan_norm = dataclasses.replace(
+        norm,
+        center=np.repeat(norm.center, args.n_samples, axis=0),
+        rot=None if norm.rot is None
+        else np.repeat(norm.rot, args.n_samples, axis=0),
     )
+    xyz_ca = fan_norm.denormalize(np.asarray(result.translations))
+    ori = fan_norm.denormalize_orientations(np.asarray(result.orientations))
     mask = np.asarray(batch.residue_mask[0])
     gen = np.asarray(batch.generation_mask[0])
     chain_idx = np.asarray(batch.chain_idx[0])
@@ -111,7 +119,6 @@ def main(argv=None) -> int:
 
     # full backbone (N, CA, C, O) reconstructed from the designed frames;
     # context residues keep their original atoms
-    ori = np.asarray(result.orientations)
     fasta_lines = []
     for i in range(args.n_samples):
         L = seqs.shape[1]

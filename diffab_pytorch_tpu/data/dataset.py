@@ -41,13 +41,56 @@ COORD_SCALE = 10.0
 
 @dataclasses.dataclass
 class NormalizationInfo:
-    """Per-sample invertible coordinate transform: x_norm = (x - center)/scale."""
+    """Per-sample invertible pose transform:
+    x_norm = ((x - center) @ rot) / scale, frames O_norm = O @ rot."""
 
     center: np.ndarray  # (b, 3)
     scale: float
+    rot: Optional[np.ndarray] = None  # (b, 3, 3); None = identity
 
     def denormalize(self, xyz_norm: np.ndarray) -> np.ndarray:
-        return xyz_norm * self.scale + self.center[:, None, :]
+        x = np.asarray(xyz_norm) * self.scale
+        if self.rot is not None:
+            x = np.einsum("b...i,bji->b...j", x, self.rot)  # x @ rot^T
+        return x + self.center[:, None, :]
+
+    def denormalize_orientations(self, orientations_norm: np.ndarray) -> np.ndarray:
+        if self.rot is None:
+            return np.asarray(orientations_norm)
+        return np.einsum(
+            "b...ij,bkj->b...ik", np.asarray(orientations_norm), self.rot
+        )  # O @ rot^T
+
+
+def _canonical_rotation(ca_centered: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Deterministic canonical pose from the context CA cloud (batched).
+
+    Principal axes of the weighted covariance, ordered by descending
+    eigenvalue, signs fixed by the third moment of the projections (and the
+    last axis by right-handedness), so that x_canon = x_centered @ V is the
+    same no matter how the input complex was posed.  The DiffAb orientation
+    process diffuses frames toward the GLOBAL identity (scale_rot in
+    diffusion/orientation.py), so training data must live in a pose the
+    model can reproduce at sampling time — the reference normalizes nothing
+    (its training was never green, SURVEY.md §2.9#13/§3.2)."""
+    b = ca_centered.shape[0]
+    denom = np.maximum(w.sum(1), 1.0)
+    cov = (
+        np.einsum("bl,bli,blj->bij", w, ca_centered, ca_centered)
+        / denom[:, None, None]
+    )
+    _, eigvec = np.linalg.eigh(cov)  # ascending eigenvalues
+    v = eigvec[:, :, ::-1].copy()  # columns = axes, descending variance
+    for j in (0, 1):
+        proj = np.einsum("bli,bi->bl", ca_centered, v[:, :, j])
+        m3 = (w * proj**3).sum(1)
+        v[:, :, j] *= np.where(m3 >= 0.0, 1.0, -1.0)[:, None]
+    v[:, :, 2] = np.cross(v[:, :, 0], v[:, :, 1], axis=-1)
+    # degenerate context (fewer than 3 points): fall back to identity
+    degenerate = w.sum(1) < 3.0
+    if degenerate.any():
+        v[degenerate] = np.eye(3)
+    return v.astype(np.float32)
 
 
 def generation_mask_from_cdr(
@@ -74,15 +117,26 @@ def assemble_batch(
     gen_mask &= stack["residue_mask"]
 
     xyz = stack["xyz"].astype(np.float32)
+    orientations = stack["orientations"].astype(np.float32)
     if normalize:
         # center on the CONTEXT CA centroid (not the generated CDR — its
-        # coordinates are unknown at sampling time)
+        # coordinates are unknown at sampling time), then rotate into the
+        # context's canonical principal-axes pose.  Both are functions of
+        # the FIXED residues only, so they are available at sampling time,
+        # and both are required: translation because the coordinate prior
+        # is N(0, I), rotation because the orientation forward kernel
+        # shrinks frames toward the GLOBAL identity — a model trained on
+        # arbitrarily posed complexes would have to learn every pose's
+        # noise field (divergence #11/#18, DESIGN.md §2).
         ctx = stack["residue_mask"] & ~gen_mask & stack["atom_mask"][:, :, 1]
         w = ctx.astype(np.float32)
         denom = np.maximum(w.sum(1), 1.0)  # (b,)
         center = (xyz[:, :, 1, :] * w[..., None]).sum(1) / denom[:, None]
-        xyz = (xyz - center[:, None, None, :]) / COORD_SCALE
-        info = NormalizationInfo(center=center, scale=COORD_SCALE)
+        xyz = xyz - center[:, None, None, :]
+        rot = _canonical_rotation(xyz[:, :, 1, :], w)
+        xyz = np.einsum("blai,bij->blaj", xyz, rot) / COORD_SCALE
+        orientations = np.einsum("blij,bjk->blik", orientations, rot)
+        info = NormalizationInfo(center=center, scale=COORD_SCALE, rot=rot)
     else:
         info = NormalizationInfo(center=np.zeros((b, 3), np.float32), scale=1.0)
     # zero out coordinates of masked atom slots (garbage-proofing)
@@ -104,7 +158,7 @@ def assemble_batch(
 
     batch = ProteinBatch(
         xyz=xyz,
-        orientations=stack["orientations"].astype(np.float32),
+        orientations=orientations,
         backbone_dihedrals=stack["backbone_dihedrals"].astype(np.float32),
         backbone_dihedrals_mask=stack["backbone_dihedrals_mask"].astype(bool),
         pairwise_dihedrals=pair_dihedrals,

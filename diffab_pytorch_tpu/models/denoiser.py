@@ -96,11 +96,35 @@ class Denoiser(nn.Module):
         res = jnp.concatenate([res, t_emb], axis=-1)
 
         # three parallel heads
-        translations_eps = _Head(d, 3, dt, name="coordinate_head")(res)
+        eps_local = _Head(d, 3, dt, name="coordinate_head")(res)
+        # Rotate the predicted noise into the GLOBAL frame by the residue's
+        # current (noisy) orientation — the DiffAb paper's R_j^(t) G(...)
+        # (Luo et al. 2022, coordinate reverse step).  This is load-bearing:
+        # every feature reaching the heads is rotation-INVARIANT by
+        # construction (distances, dihedrals, IPA's inverse-transformed
+        # points), while translations_eps is a rotation-COVARIANT target, so
+        # a raw head output — what the reference emits,
+        # diffab_pytorch.py:592-593 — is an invariant function fit to a
+        # covariant target: under global rotations of the input its best
+        # value is 0, the coordinate loss floors at E|eps|^2, and reverse
+        # diffusion random-walks (divergence #17, DESIGN.md §2).  Unrolled
+        # multiply-adds for the same TPU reason as ipa.frames_apply.
+        r = orientations_t.astype(dt)
+        translations_eps = (
+            eps_local[..., 0:1] * r[..., 0, :]
+            + eps_local[..., 1:2] * r[..., 1, :]
+            + eps_local[..., 2:3] * r[..., 2, :]
+        )
 
         v_eps = _Head(d, 3, dt, name="orientation_head")(res)
         o_eps = so3.vector_to_rotation_matrix(v_eps.astype(jnp.float32))
-        orientations_t0 = so3.compose(orientations_t.astype(jnp.float32), o_eps)
+        # LOCAL-side composition (o_eps @ O_t, rows-as-axes convention):
+        # the invariant head then parameterizes a frame-relative correction
+        # and orientations_t0 transforms covariantly under global rotations
+        # (O_t -> O_t Q gives o_eps @ O_t Q).  The reference composes on
+        # the global side (orientations_t @ o_eps, diffab_pytorch.py:597),
+        # which breaks covariance — divergence #17, DESIGN.md §2.
+        orientations_t0 = so3.compose(o_eps, orientations_t.astype(jnp.float32))
 
         seq_logits = _Head(d, cfg.aa_vocab_size, dt, name="sequence_head")(res)
         seq_posterior = jax.nn.softmax(seq_logits.astype(jnp.float32), axis=-1)

@@ -131,7 +131,13 @@ def main(argv=None) -> int:
             cfg.model,
             compute_dtype="float32" if args.smoke else "bfloat16",
         ),
-        train=TrainConfig(batch_size=args.bsz, lr=args.lr, seed=args.seed),
+        train=TrainConfig(
+            batch_size=args.bsz, lr=args.lr, seed=args.seed,
+            # bf16 training occasionally throws a huge gradient spike (one
+            # observed at step ~3900 of 4000 NaN'd an otherwise converged
+            # run); global-norm clipping keeps the late-phase steps bounded
+            grad_clip_norm=1.0,
+        ),
     )
     harness = DiffAb(cfg)
     sample0 = assemble_batch([train_ds[0]], ["H3"])[0]
@@ -201,22 +207,34 @@ def main(argv=None) -> int:
 
     # ---- 4. train --------------------------------------------------------
     log(f"training: {args.steps} steps @ batch {args.bsz}")
-    step_fn = harness.make_train_step()
+    # donate=False so finite-state snapshots below stay valid buffers
+    step_fn = harness.make_train_step(donate=False)
     base_key = jax.random.key(args.seed + 1)
     loader = PrefetchLoader(
         train_ds.batches(args.bsz, shuffle=True, seed=args.seed)
     )
     losses = []
+    state_good, step_good = state, 0
     t_train0 = time.time()
     for i, (batch, _) in enumerate(loader):
         if i >= args.steps:
             break
         state, metrics = step_fn(state, batch, base_key)
         if i % max(1, args.steps // 20) == 0 or i == args.steps - 1:
-            loss = float(metrics["train/loss"])
-            losses.append({"step": i, "loss": loss})
-            log(f"step {i}: loss={loss:.4f}")
+            terms = {
+                k.removeprefix("train/"): round(float(v), 4)
+                for k, v in metrics.items()
+            }
+            losses.append({"step": i, **terms})
+            log(f"step {i}: " + " ".join(f"{k}={v}" for k, v in terms.items()))
+            if np.isfinite(terms["loss"]):
+                state_good, step_good = state, i
     loader.close()
+    final_loss = losses[-1]["loss"] if losses else float("nan")
+    if not np.isfinite(final_loss):
+        log(f"final loss non-finite; falling back to the last finite "
+            f"snapshot at step {step_good}")
+        state = state_good
     train_wall = time.time() - t_train0
     sps = args.steps * args.bsz / train_wall
     log(f"trained {args.steps} steps in {train_wall:.1f}s "

@@ -121,3 +121,62 @@ def test_cli_sample_from_raw_pdb(workdir, trained):
     assert (out / "design_0001.pdb").exists()
     chains = parse_pdb_file(str(out / "design_0001.pdb"), prefer_native=False)
     assert "H" in chains and len(chains["H"]) > 50
+
+
+@pytest.mark.slow
+def test_cli_evaluate_closes_the_loop(workdir, trained):
+    """preprocess -> sample -> EVALUATE: the metrics CLI reads the written
+    designs back against the native patch and produces sane numbers."""
+    import json
+
+    from diffab_pytorch_tpu.cli import evaluate as evaluate_cli
+
+    out = workdir / "designs_eval"
+    patch_path = str(workdir / "patches" / "p0.npz")
+    rc = sample_cli.main([
+        "--patch", patch_path,
+        "--checkpoint-dir", str(trained),
+        "--tiny", "-n", "3", "--cdrs", "H3",
+        "--t-restart", "10",  # shallow renoise: context-close designs
+        "-o", str(out), "-s", "11",
+    ])
+    assert rc == 0
+
+    json_path = str(workdir / "eval.json")
+    rc = evaluate_cli.main([
+        "--native-patch", patch_path,
+        "--designs", str(out),
+        "--cdrs", "H3",
+        "--json", json_path,
+    ])
+    assert rc == 0
+
+    with open(json_path) as fh:
+        report = json.load(fh)
+    agg = report["aggregate"]
+    assert agg["n_designs"] == 3
+    assert 0.0 <= agg["aar_mean"] <= 1.0
+    # shallow t-restart: designs stay near the native CDR (angstroms, not
+    # tens of), and the context-aligned RMSD cannot exceed the unaligned
+    # one by much (Kabsch can only help)
+    assert 0.0 <= agg["ca_rmsd_mean"] < 20.0
+    assert agg["ca_rmsd_aligned_mean"] < agg["ca_rmsd_mean"] + 1.0
+    for row in report["designs"]:
+        assert row["ca_rmsd"] >= 0.0
+
+
+def test_cli_evaluate_rejects_mismatched_designs(tmp_path, workdir):
+    """A design file with the wrong residue count is an error, not a
+    silently wrong number."""
+    from diffab_pytorch_tpu.cli import evaluate as evaluate_cli
+
+    patch_path = str(workdir / "patches" / "p0.npz")
+    (tmp_path / "design_0000.pdb").write_text(
+        "ATOM      1  CA  ALA H   1      0.000   0.000   0.000  1.00  0.00"
+        "           C\nEND\n"
+    )
+    with pytest.raises(ValueError, match="residues"):
+        evaluate_cli.main([
+            "--native-patch", patch_path,
+            "--designs", str(tmp_path),
+        ])

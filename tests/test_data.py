@@ -167,3 +167,42 @@ def test_train_step_on_real_pipeline(patch_dir):
     step = harness.make_train_step(donate=False)
     _, metrics = step(state, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["train/loss"]))
+
+
+def test_canonical_pose_quotients_global_rotation(patch_dir):
+    """assemble_batch maps a globally rotated copy of a complex to the SAME
+    normalized coordinates and frames (pose is a function of the context
+    only, so it is reproducible at sampling time), and the full transform
+    round-trips for both coordinates and orientations."""
+    from diffab_pytorch_tpu.data.dataset import assemble_batch
+    from diffab_pytorch_tpu.structure.patch import load_patch
+
+    ds = PatchDataset.from_dir(patch_dir)
+    s = ds[0]
+    theta = 0.9
+    q = np.array(
+        [[np.cos(theta), -np.sin(theta), 0.0],
+         [np.sin(theta), np.cos(theta), 0.0],
+         [0.0, 0.0, 1.0]], np.float32)
+    s_rot = dict(s)
+    s_rot["xyz"] = (s["xyz"] + np.array([3.0, -1.0, 2.0], np.float32)) @ q
+    s_rot["orientations"] = s["orientations"] @ q
+
+    b1, i1 = assemble_batch([s])
+    b2, i2 = assemble_batch([s_rot])
+    np.testing.assert_allclose(
+        np.asarray(b2.xyz), np.asarray(b1.xyz), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(b2.orientations), np.asarray(b1.orientations), atol=2e-4
+    )
+
+    # roundtrip: normalized -> native, coordinates AND frames
+    back = i2.denormalize(np.asarray(b2.translations))
+    np.testing.assert_allclose(back, s_rot["xyz"][None, :, 1, :], atol=1e-3)
+    ori_back = i2.denormalize_orientations(np.asarray(b2.orientations))
+    np.testing.assert_allclose(ori_back, s_rot["orientations"][None], atol=1e-3)
+
+    # canonical pose is right-handed and really is a rotation
+    det = np.linalg.det(i2.rot)
+    np.testing.assert_allclose(det, 1.0, atol=1e-5)

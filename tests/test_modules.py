@@ -310,3 +310,57 @@ def test_remat_ipa_equivalence(batch):
     g_r = jax.grad(lambda p: jnp.sum(mod_r.apply(p, x, pair, rot, trans) ** 2))(params)
     for a, b_ in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-4)
+
+
+def test_denoiser_se3_equivariance(batch):
+    """Under a global rotation Q of the whole system (row convention:
+    x' = x @ Q, O' = O @ Q), the full model's heads must transform as
+      translations_eps' = translations_eps @ Q   (covariant — the
+        coordinate head is rotated by the noisy frame; a raw head, which
+        is what the reference emits at diffab_pytorch.py:592-593, is
+        invariant and cannot learn eps under rotations, divergence #17)
+      orientations_t0'  = orientations_t0 @ Q    (covariant)
+      seq_posterior'    = seq_posterior          (invariant)
+    """
+    import dataclasses as dc
+
+    model = DiffAbModel(dc.replace(CFG, compute_dtype="float32"))
+    beta = jnp.array([0.01, 0.4])
+    k = jax.random.key(3)
+    x_t = batch.translations + 0.1 * jax.random.normal(k, (B, L, 3))
+    r_t = batch.orientations
+    params = model.init(jax.random.key(0), batch, batch.seq_idx, x_t, r_t, beta)
+
+    theta = 1.1
+    q = jnp.array(
+        [[jnp.cos(theta), -jnp.sin(theta), 0.0],
+         [jnp.sin(theta), jnp.cos(theta), 0.0],
+         [0.0, 0.0, 1.0]]
+    )
+    rot_batch = batch.replace(
+        xyz=batch.xyz @ q,
+        orientations=batch.orientations @ q,
+    )
+
+    out = model.apply(params, batch, batch.seq_idx, x_t, r_t, beta)
+    out_r = model.apply(
+        params, rot_batch, batch.seq_idx, x_t @ q, r_t @ q, beta
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(out_r["translations_eps"]),
+        np.asarray(out["translations_eps"] @ q),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r["orientations_t0"]),
+        np.asarray(out["orientations_t0"] @ q),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r["seq_posterior"]),
+        np.asarray(out["seq_posterior"]),
+        atol=2e-4,
+    )
+    # the covariance is non-trivial: eps actually changes under Q
+    assert float(jnp.abs(out_r["translations_eps"] - out["translations_eps"]).max()) > 1e-3
