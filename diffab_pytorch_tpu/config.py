@@ -97,6 +97,12 @@ class TrainConfig:
     weight_decay: float = 0.0
     betas: Tuple[float, float] = (0.9, 0.999)
     grad_clip_norm: float = 0.0  # 0 disables (ref train.py:102 is broken anyway)
+    # D3PM hybrid loss (Austin et al. 2021): weight of the direct
+    # cross-entropy on p_hat(s_0) added to the posterior KL.  The KL alone
+    # barely supervises the context->s_0 map at large t (train/losses.py);
+    # 1.0 makes full-length sequence generation actually recover native
+    # sequences.  0 reproduces the reference's pure-KL objective.
+    seq_ce_weight: float = 1.0
     seed: int = 42
     val_pct: float = 0.1
     log_every: int = 50

@@ -64,6 +64,7 @@ def sample(
     generate_sequence: bool = True,
     t_start: Optional[int] = None,
     return_trajectory: bool = False,
+    x0_clip: Optional[float] = 5.0,
 ) -> SampleResult:
     """Run the full reverse loop.  jit-compatible (flags and t_start are
     Python-static).
@@ -73,6 +74,13 @@ def sample(
                          and denoise back (t-restart).
     return_trajectory:   also record per-step sequence and CA positions
                          (diffusion-path visualization / debugging).
+    x0_clip:             static thresholding of the implied clean
+                         coordinates each reverse step (see
+                         diffusion/coordinate.py reverse_step).  The
+                         default 5.0 is ~5 sigma of the normalized data —
+                         inactive for in-distribution predictions, a
+                         projection back when the chain drifts.  None
+                         disables.
     """
     T = sched.T
     t_start = T if t_start is None else int(t_start)
@@ -149,7 +157,8 @@ def sample(
             k1, sched, seq_t, denoised["seq_posterior"], tvec, seq_gen
         )
         x_next = coordinate.reverse_step(
-            k2, sched, x_t, denoised["translations_eps"], tvec, struct_gen
+            k2, sched, x_t, denoised["translations_eps"], tvec, struct_gen,
+            x0_clip=x0_clip,
         )
         r_next = orientation.reverse_step(
             k3, tables, r_t, denoised["orientations_t0"], tvec, struct_gen

@@ -197,6 +197,8 @@ class DiffAb:
             batch.orientations,
             batch.generation_mask,
             batch.residue_mask,
+            seq_idx_t0_true=batch.seq_idx,
+            seq_ce_weight=self.config.train.seq_ce_weight,
         )
         return losses["loss"], losses
 

@@ -312,3 +312,50 @@ def test_all_diffusers_jittable_together():
     assert out[1].shape == (b, n, 21)
     assert out[2].shape == (b, n, 3)
     assert out[4].shape == (b, n, 3, 3)
+
+
+class TestX0Clipping:
+    """Static thresholding in the coordinate reverse step
+    (diffusion/coordinate.py reverse_step x0_clip)."""
+
+    def test_inactive_clip_is_algebraically_identical(self):
+        from diffab_pytorch_tpu.diffusion import coordinate
+
+        sched = cosine_variance_schedule(T, s=0.01)
+        key = jax.random.key(0)
+        x0 = jax.random.normal(jax.random.key(1), (2, 8, 3))
+        gen = jnp.ones((2, 8), bool)
+        t = jnp.array([40, 90])
+        x_t, eps = coordinate.diffuse_from_t0(key, sched, x0, t, gen)
+        # oracle eps: implied x0_hat == x0, well inside any sane clip
+        a = coordinate.reverse_step(key, sched, x_t, eps, t, gen, x0_clip=None)
+        b = coordinate.reverse_step(key, sched, x_t, eps, t, gen, x0_clip=50.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_clip_bounds_a_divergent_chain(self):
+        """With a pathological eps-hat (amplifying feedback), the unclipped
+        chain explodes; the clipped chain stays in the data region."""
+        from diffab_pytorch_tpu.diffusion import coordinate
+
+        sched = cosine_variance_schedule(T, s=0.01)
+        gen = jnp.ones((1, 8), bool)
+
+        def run(x0_clip):
+            x = 1.0 * jax.random.normal(jax.random.key(2), (1, 8, 3))
+
+            def body(x, t):
+                tvec = jnp.full((1,), t, jnp.int32)
+                eps_hat = -2.0 * x  # adversarial: pushes x away each step
+                x = coordinate.reverse_step(
+                    jax.random.fold_in(jax.random.key(3), t), sched, x,
+                    eps_hat, tvec, gen, x0_clip=x0_clip,
+                )
+                return x, None
+
+            x, _ = jax.lax.scan(body, x, jnp.arange(T, 0, -1))
+            return float(jnp.abs(x).max())
+
+        unclipped = run(None)
+        clipped = run(5.0)
+        assert unclipped > 100.0  # the failure mode is real
+        assert clipped < 20.0  # bounded by clip + posterior noise

@@ -68,3 +68,49 @@ def test_diffab_losses_masking():
     eps_true2 = eps_true.at[:, 10:].set(1e9)
     out2 = diffab_losses(denoised, pred_log_post, target_post, eps_true2, r_true, gen, res)
     np.testing.assert_allclose(out2["translations_loss"], out["translations_loss"])
+
+
+def test_hybrid_ce_term():
+    import pytest
+    """D3PM hybrid loss: seq_ce_weight adds CE(p_hat(s_0), s_0) over the
+    generated positions; 0 reproduces the pure-KL objective."""
+    import jax
+
+    b, L, K = 2, 6, 21
+    key = jax.random.key(0)
+    logits = jax.random.normal(key, (b, L, K))
+    denoised = {
+        "seq_logits": logits,
+        "translations_eps": jnp.zeros((b, L, 3)),
+        "orientations_t0": jnp.broadcast_to(jnp.eye(3), (b, L, 3, 3)),
+    }
+    pred_log_post = jax.nn.log_softmax(jnp.zeros((b, L, K)), -1)
+    target_post = jnp.full((b, L, K), 1.0 / K)
+    eps_true = jnp.zeros((b, L, 3))
+    r_true = jnp.broadcast_to(jnp.eye(3), (b, L, 3, 3))
+    gen = jnp.ones((b, L), bool)
+    res = jnp.ones((b, L), bool)
+    s0 = jnp.zeros((b, L), jnp.int32)
+
+    base = diffab_losses(
+        denoised, pred_log_post, target_post, eps_true, r_true, gen, res,
+        seq_idx_t0_true=s0, seq_ce_weight=0.0,
+    )
+    hybrid = diffab_losses(
+        denoised, pred_log_post, target_post, eps_true, r_true, gen, res,
+        seq_idx_t0_true=s0, seq_ce_weight=0.5,
+    )
+    assert "seq_ce_loss" not in base
+    expected_ce = float(
+        -(jax.nn.log_softmax(logits, -1)[..., 0]).mean()
+    )
+    np.testing.assert_allclose(float(hybrid["seq_ce_loss"]), expected_ce, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(hybrid["loss"]), float(base["loss"]) + 0.5 * expected_ce, rtol=1e-5
+    )
+
+    with pytest.raises(ValueError, match="seq_idx_t0_true"):
+        diffab_losses(
+            denoised, pred_log_post, target_post, eps_true, r_true, gen, res,
+            seq_ce_weight=1.0,
+        )
