@@ -99,10 +99,16 @@ def matrix_to_quaternion(r: jax.Array) -> jax.Array:
     def _safe(x):
         return jnp.where(x > _EPS, x, 1.0)
 
-    sw = jnp.sqrt(qw2)
-    sx = jnp.sqrt(qx2)
-    sy = jnp.sqrt(qy2)
-    sz = jnp.sqrt(qz2)
+    # Gradient-safe sqrt: a candidate with magnitude ~ 0 is never SELECTED
+    # by the argmax below (the four magnitudes sum to 4, so the best is
+    # always >= 1), but every candidate still participates in the backward
+    # pass, where an unguarded sqrt(0) contributes 0 * inf = NaN through
+    # the untaken where branch — the same double-where rule as
+    # exp_skew_symmetric_mat.
+    sw = jnp.sqrt(_safe(qw2))
+    sx = jnp.sqrt(_safe(qx2))
+    sy = jnp.sqrt(_safe(qy2))
+    sz = jnp.sqrt(_safe(qz2))
 
     q_w = jnp.stack(
         [sw, (m21 - m12) / _safe(sw), (m02 - m20) / _safe(sw), (m10 - m01) / _safe(sw)],
@@ -160,10 +166,16 @@ def rotation_matrix_to_vector(r: jax.Array) -> jax.Array:
     q = matrix_to_quaternion(r)
     w = q[..., 0]
     xyz = q[..., 1:]
-    n = jnp.linalg.norm(xyz, axis=-1)
-    theta = 2.0 * jnp.arctan2(n, w)
+    # gradient-safe norm: sqrt only ever sees the safe operand (same
+    # double-where rule as exp_skew_symmetric_mat — an unguarded
+    # jnp.linalg.norm has an inf gradient at xyz = 0, which turns into NaN
+    # through the untaken where branch)
+    n2 = jnp.sum(xyz * xyz, axis=-1)
+    small = n2 < _EPS * _EPS
+    n_safe = jnp.sqrt(jnp.where(small, 1.0, n2))
+    theta = 2.0 * jnp.arctan2(n_safe, w)
     # v = axis * theta = xyz * (theta / n); as theta -> 0, theta/n -> 2/w.
-    scale = jnp.where(n > _EPS, theta / jnp.where(n > _EPS, n, 1.0), 2.0 / jnp.maximum(w, _EPS))
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), theta / n_safe)
     return xyz * scale[..., None]
 
 
@@ -189,10 +201,16 @@ def exp_skew_symmetric_mat(s: jax.Array) -> jax.Array:
     """
     v = vee(s)
     t2 = jnp.sum(v * v, axis=-1)
-    t = jnp.sqrt(t2)
-    small = t < 1e-4
+    small = t2 < 1e-8
+    # GRADIENT-safe guard: sqrt must only ever see the safe operand.  With
+    # `t = sqrt(t2)` computed outside the where, the backward pass at
+    # t2 == 0 multiplies the untaken branch's zero cotangent by
+    # d(sqrt)/d(t2) = inf -> NaN.  This is not theoretical: a converged
+    # orientation head emits exact-zero rotation vectors (bf16 underflow),
+    # and two 4,000-step TPU training runs NaN'd at that moment until the
+    # guard moved inside.
     t2_safe = jnp.where(small, 1.0, t2)
-    t_safe = jnp.where(small, 1.0, t)
+    t_safe = jnp.sqrt(t2_safe)
 
     a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t_safe) / t_safe)
     b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t_safe)) / t2_safe)

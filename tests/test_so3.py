@@ -144,3 +144,31 @@ def test_maps_are_jittable_and_batchable():
 
     g = jax.vmap(so3.rotation_matrix_to_vector)
     assert g(r).shape == (4, 7, 3)
+
+
+def test_gradients_finite_at_singularities():
+    """The double-where sqrt-guard rule: gradients through the exp/log maps
+    must be finite at EXACT zero rotation (a converged orientation head
+    emits exact-zero vectors after bf16 underflow — two 4,000-step TPU
+    training runs NaN'd on this before the guard)."""
+    g = jax.grad(lambda v: so3.vector_to_rotation_matrix(v).sum())(jnp.zeros(3))
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+    g2 = jax.grad(
+        lambda v: so3.vector_to_rotation_matrix(v).sum()
+    )(jnp.full((3,), 1e-12))
+    assert bool(jnp.all(jnp.isfinite(g2)))
+
+    g3 = jax.grad(
+        lambda r: so3.rotation_matrix_to_vector(r).sum()
+    )(jnp.eye(3))
+    assert bool(jnp.all(jnp.isfinite(g3)))
+
+    # composed roundtrip at a generic point still differentiates correctly
+    v0 = jnp.array([0.3, -0.2, 0.5])
+    g4 = jax.grad(
+        lambda v: so3.rotation_matrix_to_vector(
+            so3.vector_to_rotation_matrix(v)
+        ).sum()
+    )(v0)
+    np.testing.assert_allclose(np.asarray(g4), np.ones(3), atol=1e-4)
