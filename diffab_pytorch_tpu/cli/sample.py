@@ -50,6 +50,11 @@ def parse_args(argv=None):
                    default="codesign")
     p.add_argument("--t-restart", type=int, default=None,
                    help="Optimization: renoise to this timestep (< T)")
+    p.add_argument("--x0-clip", default="auto",
+                   help="Static thresholding of the implied clean coords "
+                        "each reverse step: 'auto' (bound from the context "
+                        "extent), a float (global box, normalized units), "
+                        "or 'none'")
     p.add_argument("-s", "--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("-o", "--out-dir", default="designs")
@@ -87,6 +92,11 @@ def main(argv=None) -> int:
         generate_structure=args.mode != "fix-structure",
         generate_sequence=args.mode != "fix-sequence",
         t_start=args.t_restart,
+        x0_clip=(
+            None if str(args.x0_clip).lower() in ("none", "0")
+            else "auto" if args.x0_clip == "auto"
+            else float(args.x0_clip)
+        ),
     )
     key = jax.random.key(args.seed)
     if args.data_parallel:

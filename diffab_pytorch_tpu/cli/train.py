@@ -43,6 +43,14 @@ def parse_args(argv=None):
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("-l", "--learning-rate", type=float, default=1e-4)
     p.add_argument("--grad-clip", type=float, default=0.0)
+    p.add_argument("--seq-ce-weight", type=float, default=1.0,
+                   help="D3PM hybrid loss: weight of the direct CE on "
+                        "p_hat(s_0); 0 = the reference's pure-KL objective")
+    p.add_argument("--lr-warmup-steps", type=int, default=0)
+    p.add_argument("--lr-decay-steps", type=int, default=0,
+                   help="Cosine-decay horizon (includes warmup); 0 = "
+                        "constant lr.  Recommended = total planned steps "
+                        "(prevents the late-training Adam instability)")
     p.add_argument("-s", "--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true",
                    help="Tiny model preset (BASELINE config #1)")
@@ -67,6 +75,9 @@ def build_config(args) -> DiffAbConfig:
         epochs=args.epochs,
         lr=args.learning_rate,
         grad_clip_norm=args.grad_clip,
+        seq_ce_weight=args.seq_ce_weight,
+        lr_warmup_steps=args.lr_warmup_steps,
+        lr_decay_steps=args.lr_decay_steps,
         seed=args.seed,
         val_pct=args.val_pct,
         checkpoint_dir=args.checkpoint_dir,

@@ -103,6 +103,17 @@ class TrainConfig:
     # 1.0 makes full-length sequence generation actually recover native
     # sequences.  0 reproduces the reference's pure-KL objective.
     seq_ce_weight: float = 1.0
+    # LR schedule: 0/0 keeps the reference's constant Adam lr.  A cosine
+    # decay horizon (lr_decay_steps > 0, includes warmup) is the standard
+    # cure for the late-training Adam instability observed on this model:
+    # once a head fully converges its second moments go tiny, the next
+    # gradient burst is divided by ~sqrt(nu) ~ 0, and the loss spirals
+    # 0.4 -> 6.7 -> NaN within ~70 steps (measured, deterministic at
+    # ~step 3950 of a 6k-step run; global-norm clipping does not help
+    # because the gradients themselves are not large).
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int = 0
+    lr_min_ratio: float = 0.0
     seed: int = 42
     val_pct: float = 0.1
     log_every: int = 50

@@ -48,7 +48,7 @@ def reverse_step(
     eps_hat: jax.Array,
     t: jax.Array,
     generation_mask: jax.Array,
-    x0_clip: float | None = None,
+    x0_clip: float | jax.Array | None = None,
 ) -> jax.Array:
     """One DDPM posterior step x_t -> x_{t-1} using the predicted noise.
 
@@ -61,13 +61,21 @@ def reverse_step(
     implied x0_hat can leave the data region, the next step's inputs go
     out-of-distribution, and the chain diverges multiplicatively (observed:
     ~7,000 A RMSD on full-length generation with a model whose t-restart
-    designs are sub-2 A).  Coordinates are normalized to ~unit variance
-    (data/dataset.py COORD_SCALE), so clamping the implied x0_hat to
+    designs are sub-2 A).  Clamping the implied x0_hat to
     [-x0_clip, x0_clip] and stepping with the exact posterior
     q(x_{t-1} | x_t, x0_hat) is a no-op whenever the prediction is already
-    in-distribution, and a projection back onto it when it is not.  None
+    inside the bound, and a projection back onto it when it is not.  None
     preserves the textbook eps-form step (identical when nothing clips).
+
+    THE BOUND MUST COVER THE DATA.  Scalars apply one global box; a (b,)
+    array applies a per-sample box (broadcast over residues/coords) — use
+    the sampler's "auto" mode, which derives it from the context extent.
+    A bound tighter than the true coordinate range actively amputates
+    geometry: clip=5.0 on patches whose CDRs legitimately reach |x| ~ 8
+    measured 26.8 A RMSD where the correctly-sized bound gave 1.3 A.
     """
+    if isinstance(x0_clip, jax.Array) and x0_clip.ndim == 1:
+        x0_clip = x0_clip[..., None, None]  # (b,) -> broadcast (b, L, 3)
     beta = sched.beta[t][..., None, None]
     alpha = sched.alpha[t][..., None, None]
     one_minus_abar = sched.one_minus_alpha_bar_sqrt[t][..., None, None] ** 2

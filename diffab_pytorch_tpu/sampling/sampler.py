@@ -64,7 +64,7 @@ def sample(
     generate_sequence: bool = True,
     t_start: Optional[int] = None,
     return_trajectory: bool = False,
-    x0_clip: Optional[float] = 5.0,
+    x0_clip: object = "auto",
 ) -> SampleResult:
     """Run the full reverse loop.  jit-compatible (flags and t_start are
     Python-static).
@@ -76,11 +76,14 @@ def sample(
                          (diffusion-path visualization / debugging).
     x0_clip:             static thresholding of the implied clean
                          coordinates each reverse step (see
-                         diffusion/coordinate.py reverse_step).  The
-                         default 5.0 is ~5 sigma of the normalized data —
-                         inactive for in-distribution predictions, a
-                         projection back when the chain drifts.  None
-                         disables.
+                         diffusion/coordinate.py reverse_step).  "auto"
+                         (default) derives a per-sample bound from the
+                         CONTEXT extent — 1.5 x the largest |coordinate|
+                         of any fixed residue — so it scales with the
+                         actual patch geometry instead of assuming unit
+                         variance (generated loops live within the
+                         complex the context frames).  A float applies a
+                         global box; None disables.
     """
     T = sched.T
     t_start = T if t_start is None else int(t_start)
@@ -93,6 +96,16 @@ def sample(
     gen = batch.generation_mask & batch.residue_mask
     seq_gen = gen if generate_sequence else jnp.zeros_like(gen)
     struct_gen = gen if generate_structure else jnp.zeros_like(gen)
+
+    if isinstance(x0_clip, str):
+        if x0_clip != "auto":
+            raise ValueError(f"x0_clip must be 'auto', a float, or None; got {x0_clip!r}")
+        ctx = batch.residue_mask & ~batch.generation_mask
+        ctx_extent = jnp.max(
+            jnp.where(ctx[..., None], jnp.abs(batch.translations), 0.0),
+            axis=(1, 2),
+        )  # (b,)
+        x0_clip = 1.5 * jnp.maximum(ctx_extent, 1.0)
 
     # 1. context encoding, once — including the per-layer pair-bias logits,
     # which are t-independent (hoisted out of the scan; the reference

@@ -87,16 +87,28 @@ class DiffAb:
     # ------------------------------------------------------------------
     def _make_optimizer(self) -> optax.GradientTransformation:
         t = self.config.train
+        if t.lr_decay_steps > 0:
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0 if t.lr_warmup_steps else t.lr,
+                peak_value=t.lr,
+                warmup_steps=t.lr_warmup_steps,
+                decay_steps=t.lr_decay_steps,  # includes warmup
+                end_value=t.lr * t.lr_min_ratio,
+            )
+        elif t.lr_warmup_steps > 0:
+            lr = optax.linear_schedule(0.0, t.lr, t.lr_warmup_steps)
+        else:
+            lr = t.lr  # constant — the reference's choice (train.py:97)
         txs = []
         if t.grad_clip_norm > 0:
             txs.append(optax.clip_by_global_norm(t.grad_clip_norm))
         if t.weight_decay > 0:
             txs.append(
-                optax.adamw(t.lr, b1=t.betas[0], b2=t.betas[1],
+                optax.adamw(lr, b1=t.betas[0], b2=t.betas[1],
                             weight_decay=t.weight_decay)
             )
         else:
-            txs.append(optax.adam(t.lr, b1=t.betas[0], b2=t.betas[1]))
+            txs.append(optax.adam(lr, b1=t.betas[0], b2=t.betas[1]))
         return optax.chain(*txs)
 
     def init(self, key: jax.Array, sample_batch: ProteinBatch) -> TrainState:

@@ -133,10 +133,11 @@ def main(argv=None) -> int:
         ),
         train=TrainConfig(
             batch_size=args.bsz, lr=args.lr, seed=args.seed,
-            # bf16 training occasionally throws a huge gradient spike (one
-            # observed at step ~3900 of 4000 NaN'd an otherwise converged
-            # run); global-norm clipping keeps the late-phase steps bounded
             grad_clip_norm=1.0,
+            # cosine decay over the whole run: the cure for the
+            # late-training Adam spiral (config.py lr_decay_steps note)
+            lr_warmup_steps=min(100, args.steps // 10),
+            lr_decay_steps=args.steps,
         ),
     )
     harness = DiffAb(cfg)

@@ -127,3 +127,28 @@ def test_return_trajectory(harness, batch, params):
     # default: no trajectory fields
     res2 = harness.sample(params, batch, jax.random.key(11), t_start=5)
     assert res2.seq_trajectory is None
+
+
+def test_auto_x0_clip_scales_with_the_patch(harness, batch, params):
+    """The 'auto' x0 bound follows the context extent: on a patch whose
+    coordinates legitimately reach |x| ~ 8, a shallow t-restart keeps the
+    designed coordinates near the input, while an undersized fixed box
+    visibly amputates them (the failure measured on TPU: fixed clip=5.0
+    gave 26.8 A RMSD where the context-derived bound gave 1.3 A)."""
+    big = batch.replace(xyz=batch.xyz * 6.0)
+    gen = np.asarray(big.generation_mask & big.residue_mask)
+    native = np.asarray(big.translations)
+    extent = float(np.abs(native[np.asarray(big.residue_mask)]).max())
+    assert extent > 4.0  # the scenario is real
+
+    auto = harness.sample(params, big, jax.random.key(5), t_start=2)
+    drift_auto = np.abs(np.asarray(auto.translations) - native)[gen].max()
+
+    tight = harness.sample(params, big, jax.random.key(5), t_start=2, x0_clip=2.0)
+    out_tight = np.abs(np.asarray(tight.translations))[gen]
+
+    # shallow renoise + auto bound: geometry survives
+    assert drift_auto < 2.0
+    # the undersized box caps the implied x0 at ~2 (+ posterior noise)
+    assert out_tight.max() < 3.5
+    assert np.abs(np.asarray(tight.translations) - native)[gen].max() > 2.0
