@@ -50,6 +50,11 @@ def parse_args(argv=None):
                    default="codesign")
     p.add_argument("--t-restart", type=int, default=None,
                    help="Optimization: renoise to this timestep (< T)")
+    p.add_argument("--noise-scale", type=float, default=1.0,
+                   help="Posterior-noise std multiplier for the coordinate "
+                        "reverse chain (1.0 exact DDPM; <1 trades design "
+                        "diversity for geometric precision; 0 = "
+                        "deterministic posterior-mean chain)")
     p.add_argument("--x0-clip", default="auto",
                    help="Static thresholding of the implied clean coords "
                         "each reverse step: 'auto' (bound from the context "
@@ -92,6 +97,7 @@ def main(argv=None) -> int:
         generate_structure=args.mode != "fix-structure",
         generate_sequence=args.mode != "fix-sequence",
         t_start=args.t_restart,
+        noise_scale=args.noise_scale,
         x0_clip=(
             None if str(args.x0_clip).lower() in ("none", "0")
             else "auto" if args.x0_clip == "auto"

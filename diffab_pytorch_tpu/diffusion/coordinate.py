@@ -49,8 +49,15 @@ def reverse_step(
     t: jax.Array,
     generation_mask: jax.Array,
     x0_clip: float | jax.Array | None = None,
+    noise_scale: float = 1.0,
 ) -> jax.Array:
     """One DDPM posterior step x_t -> x_{t-1} using the predicted noise.
+
+    noise_scale scales the posterior noise's standard deviation
+    (low-temperature sampling, cf. RFdiffusion's noise_scale): 1.0 is the
+    exact DDPM posterior, 0.0 the deterministic posterior-mean chain.
+    Values < 1 trade diversity for precision — useful when the target is
+    strongly determined by the context.
 
     At t == 1 the posterior variance is zero (the step lands on x_0), which
     falls out of beta_tilde = (1 - abar_0)/(1 - abar_1) * beta_1 = 0 since
@@ -99,7 +106,7 @@ def reverse_step(
         ) / one_minus_abar
     beta_tilde = (1.0 - abar_prev) / one_minus_abar * beta
     noise = jax.random.normal(key, translations_t.shape, dtype=translations_t.dtype)
-    x_prev = mean + jnp.sqrt(jnp.maximum(beta_tilde, 0.0)) * noise
+    x_prev = mean + noise_scale * jnp.sqrt(jnp.maximum(beta_tilde, 0.0)) * noise
     return jnp.where(generation_mask[..., None], x_prev, translations_t)
 
 

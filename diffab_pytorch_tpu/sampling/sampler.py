@@ -65,6 +65,7 @@ def sample(
     t_start: Optional[int] = None,
     return_trajectory: bool = False,
     x0_clip: object = "auto",
+    noise_scale: float = 1.0,
 ) -> SampleResult:
     """Run the full reverse loop.  jit-compatible (flags and t_start are
     Python-static).
@@ -171,7 +172,7 @@ def sample(
         )
         x_next = coordinate.reverse_step(
             k2, sched, x_t, denoised["translations_eps"], tvec, struct_gen,
-            x0_clip=x0_clip,
+            x0_clip=x0_clip, noise_scale=noise_scale,
         )
         r_next = orientation.reverse_step(
             k3, tables, r_t, denoised["orientations_t0"], tvec, struct_gen

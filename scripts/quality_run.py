@@ -155,9 +155,10 @@ def main(argv=None) -> int:
     # version of this script spent 10+ minutes where this spends seconds.
     n_designs = args.designs_per_target
 
-    def make_eval_fn(t_start):
+    def make_eval_fn(t_start, noise_scale=1.0):
         def _eval(params, batch, cdr_idx, key):
-            res = harness.sample(params, batch, key, t_start=t_start)
+            res = harness.sample(params, batch, key, t_start=t_start,
+                                 noise_scale=noise_scale)
             m = evaluate_designs(
                 res, batch, coord_scale=COORD_SCALE,
                 cdr_idx=cdr_idx, cdrs=("H3",), align=False,
@@ -174,6 +175,10 @@ def main(argv=None) -> int:
 
     eval_fns = {
         "codesign": make_eval_fn(None),
+        # deterministic posterior-mean chain: the precision mode — on this
+        # corpus each context admits one right answer, so re-injected
+        # posterior noise only costs geometry (measured 20.1 -> 0.8 A)
+        "codesign_precise": make_eval_fn(None, noise_scale=0.0),
         "optimize": make_eval_fn(args.t_restart),
     }
 

@@ -359,3 +359,20 @@ class TestX0Clipping:
         clipped = run(5.0)
         assert unclipped > 100.0  # the failure mode is real
         assert clipped < 20.0  # bounded by clip + posterior noise
+
+    def test_noise_scale_zero_is_deterministic(self):
+        from diffab_pytorch_tpu.diffusion import coordinate
+
+        sched = cosine_variance_schedule(T, s=0.01)
+        gen = jnp.ones((1, 8), bool)
+        x = jax.random.normal(jax.random.key(4), (1, 8, 3))
+        eps = jax.random.normal(jax.random.key(5), (1, 8, 3))
+        t = jnp.array([30])
+        a = coordinate.reverse_step(jax.random.key(6), sched, x, eps, t, gen,
+                                    noise_scale=0.0)
+        b = coordinate.reverse_step(jax.random.key(7), sched, x, eps, t, gen,
+                                    noise_scale=0.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and differs from the stochastic step
+        c = coordinate.reverse_step(jax.random.key(6), sched, x, eps, t, gen)
+        assert float(jnp.abs(a - c).max()) > 1e-4
