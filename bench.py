@@ -40,17 +40,30 @@ def peak_flops(device) -> float:
     return 197e12  # default to v5e
 
 
-def compiled_flops(jitted, *args) -> float:
-    """FLOPs per call from XLA's own cost model; 0.0 when the backend
-    cannot report it (the analysis runs on the lowered module, so it works
-    on AOT/tunneled backends too when the plugin supports it)."""
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
-    except Exception:
-        return 0.0
+def sampler_model_flops(cfg, b: int, L: int, T: int) -> float:
+    """Analytic model FLOPs for one full codesign batch (encode once +
+    T denoiser calls), counting the dominant matmul terms (2*m*n*k each).
+
+    Per IPA layer (models/ipa.py): QKV/point projections + output dense,
+    fused attention logits (scalar + point via the augmented contraction),
+    and the three attention-weighted reductions (values, points, pair
+    rows).  The one-time context encoding (pair embedding MLP over L^2
+    positions) is small next to T=100 denoiser calls and is folded in as
+    one extra pair-MLP term."""
+    m = cfg.model
+    h, ds = m.n_head, m.d_scalar_per_head
+    pq, pv = m.n_query_point_per_head, m.n_value_point_per_head
+    d, dp = m.d_residue_emb, m.d_pair_emb
+    bl = b * L
+    bhll = b * h * L * L
+    proj = 2 * bl * d * (3 * h * ds + 3 * h * pq * 3)  # scalar+point QKV
+    out_dense = 2 * bl * (h * ds + h * dp + h * pv * 3 + h * pv) * d
+    logits = 2 * bhll * (ds + 3 * pq + 2)  # augmented q.k contraction
+    reductions = 2 * bhll * (ds + 3 * pv) + 2 * b * L * L * h * dp
+    per_layer = proj + out_dense + logits + reductions
+    denoiser_call = m.n_ipa_layers * per_layer + 2 * bl * (2 * d) * d  # + fuse MLP
+    pair_mlp = 2 * b * L * L * (dp * 4) * dp  # one-time context encoding
+    return float(T * denoiser_call + pair_mlp)
 
 
 def get_baseline() -> float:
@@ -103,8 +116,12 @@ def main():
     dt = time.time() - t0
     samples_per_sec = BSZ * n_iters / dt
 
-    # MFU: XLA-counted FLOPs per sample batch / wall / peak bf16
-    flops = compiled_flops(sample_fn, state.params, batch, keys[0])
+    # MFU: model FLOPs per sample batch / wall / peak bf16.  FLOPs are
+    # counted analytically from the architecture (XLA's cost_analysis is
+    # unavailable/untrustworthy on tunneled backends, and fused Pallas
+    # kernels are opaque custom calls it cannot see inside anyway); the
+    # dominant dense/attention terms of the T denoiser calls, ±10%.
+    flops = sampler_model_flops(cfg, BSZ, L, T)
     mfu = (flops * n_iters / dt) / peak_flops(jax.devices()[0]) if flops else None
 
     # secondary: train step throughput (batch 16, reference-default model)
