@@ -48,6 +48,8 @@ def parse_args(argv=None):
     p.add_argument("--designs-per-target", type=int, default=8)
     p.add_argument("--t-restart", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cdrs", nargs="+", default=["H3"],
+                   help="CDRs to design jointly (subset of H1 H2 H3 L1 L2 L3)")
     p.add_argument("--smoke", action="store_true",
                    help="CPU backend, tiny preset, 2 families, 60 steps")
     return p.parse_args(argv)
@@ -120,8 +122,8 @@ def main(argv=None) -> int:
     val_paths = [p for p in all_paths if stem(p) in val_ids]
     log(f"split: {len(train_paths)} train / {len(val_paths)} val patches")
 
-    train_ds = PatchDataset(train_paths, cdrs_to_generate=["H3"])
-    val_ds = PatchDataset(val_paths, cdrs_to_generate=["H3"])
+    train_ds = PatchDataset(train_paths, cdrs_to_generate=args.cdrs)
+    val_ds = PatchDataset(val_paths, cdrs_to_generate=args.cdrs)
 
     # ---- 2. model ------------------------------------------------------
     cfg = tiny_config() if args.smoke else default_config()
@@ -141,7 +143,7 @@ def main(argv=None) -> int:
         ),
     )
     harness = DiffAb(cfg)
-    sample0 = assemble_batch([train_ds[0]], ["H3"])[0]
+    sample0 = assemble_batch([train_ds[0]], args.cdrs)[0]
     state = harness.init(jax.random.key(args.seed), sample0)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     log(f"model: {n_params/1e6:.2f} M params, dtype={cfg.model.compute_dtype}, "
@@ -161,7 +163,7 @@ def main(argv=None) -> int:
                                  noise_scale=noise_scale)
             m = evaluate_designs(
                 res, batch, coord_scale=COORD_SCALE,
-                cdr_idx=cdr_idx, cdrs=("H3",), align=False,
+                cdr_idx=cdr_idx, cdrs=tuple(args.cdrs), align=False,
             )
             m["ca_rmsd_aligned"] = evaluate_designs(
                 res, batch, coord_scale=COORD_SCALE, align=True
@@ -187,7 +189,7 @@ def main(argv=None) -> int:
         rows = {m: [] for m in eval_fns}
         for vi in range(len(val_ds)):
             raw = val_ds[vi]
-            batch, _ = assemble_batch([raw] * n_designs, ["H3"])
+            batch, _ = assemble_batch([raw] * n_designs, args.cdrs)
             cdr_idx = jnp.asarray(np.stack([raw["cdr_idx"]] * n_designs))
             key = jax.random.fold_in(jax.random.key(args.seed + 7), vi)
             for mode, fn in eval_fns.items():
@@ -258,6 +260,7 @@ def main(argv=None) -> int:
         "train_patches": len(train_paths),
         "val_patches": len(val_paths),
         "designs_per_target": n_designs,
+        "cdrs": args.cdrs,
         "steps": args.steps,
         "batch_size": args.bsz,
         "lr": args.lr,
