@@ -118,3 +118,36 @@ def test_jit_and_scan_compatible(cfg, inputs):
     out = run(params, x)
     assert out.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_kernel_supports_longer_contexts():
+    """patch_size is user-configurable (cli.preprocess -k); the kernel's
+    only shape constraint is L % 128 == 0 — pin L=256."""
+    import dataclasses
+
+    import numpy as np
+
+    from diffab_pytorch_tpu.config import ModelConfig
+    from diffab_pytorch_tpu.models.ipa import InvariantPointAttentionLayer
+
+    cfg = ModelConfig(
+        d_residue_emb=16, d_pair_emb=8, n_head=2, d_scalar_per_head=4,
+        n_query_point_per_head=2, n_value_point_per_head=2,
+    )
+    b, L = 1, 256
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (b, L, 16))
+    pair = jax.random.normal(key, (b, L, L, 8)) * 0.1
+    rot = jnp.broadcast_to(jnp.eye(3), (b, L, 3, 3))
+    trans = jax.random.normal(key, (b, L, 3))
+
+    layer_on = InvariantPointAttentionLayer(
+        dataclasses.replace(cfg, use_pallas_attention=True))
+    layer_off = InvariantPointAttentionLayer(
+        dataclasses.replace(cfg, use_pallas_attention=False))
+    params = layer_on.init(key, x, pair, rot, trans)
+    out_on = layer_on.apply(params, x, pair, rot, trans)
+    out_off = layer_off.apply(params, x, pair, rot, trans)
+    np.testing.assert_allclose(
+        np.asarray(out_on), np.asarray(out_off), atol=2e-4
+    )
