@@ -151,3 +151,29 @@ def pairwise_distance_matrix(
     d = d.reshape(L, A, L, A).transpose(0, 2, 1, 3)
     mask = (atom_mask[:, None, :, None] & atom_mask[None, :, None, :])
     return d.astype(np.float32), mask
+
+
+def backbone_geometry(
+    xyz: np.ndarray,
+    atom_mask: np.ndarray,
+    chain_idx: np.ndarray,
+    prefer_native: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Frames + backbone dihedrals in one call: (orientations (L, 3, 3),
+    dihedrals (L, 3), dihedrals_mask (L, 3)).
+
+    The production preprocessing path (structure/patch.featurize_patch)
+    goes through here: the native C++ featurizer (native/featurize.cpp)
+    computes both in one pass over the structure when its library is
+    available; the numpy functions above remain the semantic reference and
+    the always-available fallback (parity pinned by tests/test_native.py).
+    """
+    if prefer_native:
+        from diffab_pytorch_tpu.structure import native
+
+        out = native.backbone_geometry_native(xyz, atom_mask, chain_idx)
+        if out is not None:
+            return out
+    rot, _ = backbone_orientations(xyz, atom_mask)
+    vals, mask = backbone_dihedrals(xyz, atom_mask, chain_idx)
+    return rot, vals, mask

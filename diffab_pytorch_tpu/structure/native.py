@@ -109,3 +109,43 @@ def parse_pdb_native(text: str) -> Optional[Dict[str, List[Residue]]]:
             )
         )
     return chains
+
+
+def backbone_geometry_native(
+    xyz: np.ndarray,  # (L, A, 3) float32
+    atom_mask: np.ndarray,  # (L, A) bool
+    chain_idx: np.ndarray,  # (L,) int32
+):
+    """Frames + backbone dihedrals via the native library; None if it (or
+    the symbol — older .so builds) is unavailable.
+
+    Returns (orientations (L, 3, 3) f32, dihedrals (L, 3) f32,
+    dihedrals_mask (L, 3) bool) with the exact semantics of
+    geometry.backbone_orientations / geometry.backbone_dihedrals."""
+    lib = _load()
+    if lib is None:
+        return None
+    try:
+        fn = lib.diffab_backbone_geometry
+    except AttributeError:
+        return None  # stale .so without the featurizer — Python fallback
+    fn.restype = ctypes.c_int
+    L, A = atom_mask.shape
+    xyz_c = np.ascontiguousarray(xyz, np.float32)
+    mask_c = np.ascontiguousarray(atom_mask, np.uint8)
+    chain_c = np.ascontiguousarray(chain_idx, np.int32)
+    rot = np.empty((L, 3, 3), np.float32)
+    dih = np.empty((L, 3), np.float32)
+    dih_mask = np.empty((L, 3), np.uint8)
+    rc = fn(
+        xyz_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask_c.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        chain_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.c_int(L), ctypes.c_int(A),
+        rot.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dih.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dih_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if rc != 0:
+        return None
+    return rot, dih, dih_mask.astype(bool)

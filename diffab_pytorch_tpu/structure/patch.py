@@ -78,9 +78,14 @@ def featurize_patch(
     if patch_mask is None:
         patch_mask = extract_patch_mask(complex_, k=patch_size)
 
-    # full-structure features that depend on sequence neighbors
-    dihedrals, dihedrals_mask = complex_.backbone_dihedrals()
-    orientations = complex_.backbone_orientations()
+    # full-structure features that depend on sequence neighbors — one pass
+    # through the native C++ featurizer when available (numpy fallback,
+    # structure/geometry.backbone_geometry)
+    from diffab_pytorch_tpu.structure import geometry
+
+    orientations, dihedrals, dihedrals_mask = geometry.backbone_geometry(
+        complex_.xyz, complex_.atom_mask, complex_.chain_idx
+    )
 
     idx = np.nonzero(patch_mask)[0]
     if idx.size > patch_size:

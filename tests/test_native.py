@@ -76,3 +76,86 @@ def test_native_speedup_or_at_least_works():
     t_python = time.time() - t0
     print(f"native {t_native*100:.1f} ms/parse vs python {t_python*100:.1f} ms/parse")
     assert t_native < t_python  # strictly faster on any real machine
+
+
+class TestNativeBackboneGeometry:
+    """native/featurize.cpp vs the numpy semantic reference
+    (geometry.backbone_orientations / backbone_dihedrals)."""
+
+    def _random_structure(self, seed, L=60):
+        rng = np.random.default_rng(seed)
+        A = 15
+        xyz = rng.normal(size=(L, A, 3)).astype(np.float32) * 5
+        mask = rng.random((L, A)) > 0.1
+        chain = np.repeat(
+            np.array([1, 2, 3], np.int32), [L // 3, L // 3, L - 2 * (L // 3)]
+        )
+        # peptide-bond some consecutive pairs (some just beyond the 2.5 A
+        # cutoff to pin the threshold semantics)
+        for i in range(L - 1):
+            r = rng.random()
+            if r > 0.5:
+                xyz[i + 1, 0] = xyz[i, 2] + rng.normal(scale=0.3, size=3)
+            elif r > 0.4:
+                d = rng.normal(size=3)
+                xyz[i + 1, 0] = xyz[i, 2] + 2.6 * d / np.linalg.norm(d)
+        return xyz, mask, chain
+
+    def test_parity_random_structures(self):
+        from diffab_pytorch_tpu.structure import geometry, native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        for seed in range(3):
+            xyz, mask, chain = self._random_structure(seed)
+            out = native.backbone_geometry_native(xyz, mask, chain)
+            assert out is not None
+            rot_n, dih_n, dmask_n = out
+            rot_p, _ = geometry.backbone_orientations(xyz, mask)
+            dih_p, dmask_p = geometry.backbone_dihedrals(xyz, mask, chain)
+            np.testing.assert_allclose(rot_n, rot_p, atol=1e-5)
+            np.testing.assert_allclose(dih_n, dih_p, atol=1e-5)
+            np.testing.assert_array_equal(dmask_n, dmask_p)
+
+    def test_dispatcher_and_fallback_agree(self):
+        """backbone_geometry (the production path used by featurize_patch)
+        equals the pure-numpy fallback."""
+        from diffab_pytorch_tpu.structure import geometry
+
+        xyz, mask, chain = self._random_structure(7)
+        rot_a, dih_a, m_a = geometry.backbone_geometry(xyz, mask, chain)
+        rot_b, dih_b, m_b = geometry.backbone_geometry(
+            xyz, mask, chain, prefer_native=False
+        )
+        np.testing.assert_allclose(rot_a, rot_b, atol=1e-5)
+        np.testing.assert_allclose(dih_a, dih_b, atol=1e-5)
+        np.testing.assert_array_equal(m_a, m_b)
+
+    def test_featurize_patch_parity_on_real_fixture(self):
+        """End-to-end: a featurized patch is identical (within f32) whether
+        the native or the numpy geometry produced it."""
+        import os
+
+        from diffab_pytorch_tpu.structure import antibody, native
+        from diffab_pytorch_tpu.structure.patch import featurize_patch
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        fixture = os.path.join(
+            os.path.dirname(__file__), "fixtures", "ab1_chothia.pdb"
+        )
+        c = antibody.from_pdb(fixture, "H", "L", ["A"], keep_fv_only=True)
+        import unittest.mock as mock
+
+        s_native = featurize_patch(c, patch_size=128)
+        with mock.patch.object(
+            native, "backbone_geometry_native", lambda *a, **k: None
+        ):
+            s_numpy = featurize_patch(c, patch_size=128)
+        for k in s_native:
+            if s_native[k].dtype.kind == "f":
+                np.testing.assert_allclose(
+                    s_native[k], s_numpy[k], atol=1e-5, err_msg=k
+                )
+            else:
+                np.testing.assert_array_equal(s_native[k], s_numpy[k], err_msg=k)
