@@ -63,12 +63,18 @@ def _apply_forward_kernel(
     tables: OrientationDiffusionTables,
     orientations: jax.Array,  # (b, L, 3, 3)
     t: jax.Array,  # (b,) timestep == sigma index
+    noise_scale: float = 1.0,
 ) -> jax.Array:
-    """scale_rot(R, sqrt(abar_t)) @ IGSO3-noise(sigma_t)."""
+    """scale_rot(R, sqrt(abar_t)) @ IGSO3-noise(sigma_t).
+
+    noise_scale scales the sampled noise ANGLE (low-temperature analogue of
+    the coordinate chain's knob; 0 lands deterministically on the scaled
+    mean — axis-angle scaling is the geodesic shrink of the noise
+    rotation, exact for this parameterization)."""
     n_residues = orientations.shape[-3]
     mean = so3.scale_rot(orientations, tables.sched.alpha_bar_sqrt[t])
     rotvec = igso3_lib.sample_axis_angle(key, tables.igso3, t, (n_residues,))
-    noise = so3.vector_to_rotation_matrix(rotvec)
+    noise = so3.vector_to_rotation_matrix(noise_scale * rotvec)
     return so3.compose(mean, noise)
 
 
@@ -94,12 +100,17 @@ def reverse_step(
     orientations_t0_hat: jax.Array,
     t: jax.Array,
     generation_mask: jax.Array,
+    noise_scale: float = 1.0,
 ) -> jax.Array:
     """One reverse step R_t -> R_{t-1} via the forward kernel at t-1 applied
     to the predicted clean frames.  sigma_{t-1=0} = 0 so the last step lands
     exactly on R0_hat (point-mass IGSO3 row — igso3.py degenerate handling).
+    noise_scale < 1 is low-temperature sampling of the frames (0 =
+    deterministic geodesic step onto the scaled prediction).
     """
-    r_prev = _apply_forward_kernel(key, tables, orientations_t0_hat, t - 1)
+    r_prev = _apply_forward_kernel(
+        key, tables, orientations_t0_hat, t - 1, noise_scale=noise_scale
+    )
     return jnp.where(generation_mask[..., None, None], r_prev, orientations_t)
 
 

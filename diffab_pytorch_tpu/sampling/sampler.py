@@ -66,6 +66,7 @@ def sample(
     return_trajectory: bool = False,
     x0_clip: object = "auto",
     noise_scale: float = 1.0,
+    orientation_noise_scale: float = 1.0,
 ) -> SampleResult:
     """Run the full reverse loop.  jit-compatible (flags and t_start are
     Python-static).
@@ -175,7 +176,8 @@ def sample(
             x0_clip=x0_clip, noise_scale=noise_scale,
         )
         r_next = orientation.reverse_step(
-            k3, tables, r_t, denoised["orientations_t0"], tvec, struct_gen
+            k3, tables, r_t, denoised["orientations_t0"], tvec, struct_gen,
+            noise_scale=orientation_noise_scale,
         )
         ys = (seq_next, x_next) if return_trajectory else None
         return (seq_next, x_next, r_next), ys

@@ -376,3 +376,28 @@ class TestX0Clipping:
         # and differs from the stochastic step
         c = coordinate.reverse_step(jax.random.key(6), sched, x, eps, t, gen)
         assert float(jnp.abs(a - c).max()) > 1e-4
+
+
+def test_orientation_noise_scale_zero_is_deterministic():
+    """Orientation low-temperature analogue: noise_scale=0 lands exactly on
+    the geodesically scaled prediction, independent of the key."""
+    from diffab_pytorch_tpu.diffusion import orientation
+    from diffab_pytorch_tpu.geometry import so3
+
+    sched = cosine_variance_schedule(T, s=0.01)
+    tables = orientation.make_orientation_tables(sched)
+    gen = jnp.ones((1, 6), bool)
+    r0 = so3.uniform(jax.random.key(0), (1, 6))
+    r_t = so3.uniform(jax.random.key(1), (1, 6))
+    t = jnp.array([40])
+
+    a = orientation.reverse_step(jax.random.key(2), tables, r_t, r0, t, gen,
+                                 noise_scale=0.0)
+    b = orientation.reverse_step(jax.random.key(3), tables, r_t, r0, t, gen,
+                                 noise_scale=0.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    expected = so3.scale_rot(r0, sched.alpha_bar_sqrt[t - 1])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(expected), atol=1e-5)
+    # stochastic step differs
+    c = orientation.reverse_step(jax.random.key(2), tables, r_t, r0, t, gen)
+    assert float(jnp.abs(a - c).max()) > 1e-4
