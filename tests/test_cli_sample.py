@@ -180,3 +180,25 @@ def test_cli_evaluate_rejects_mismatched_designs(tmp_path, workdir):
             "--native-patch", patch_path,
             "--designs", str(tmp_path),
         ])
+
+
+def test_sample_cli_noise_and_clip_flag_parsing():
+    """--x0-clip auto/float/none and --noise-scale reach the sampler kwargs
+    with the right types (the string->value mapping lives in main, so pin
+    it at the parse layer + mapping expression)."""
+    args = sample_cli.parse_args([
+        "--patch", "x.npz", "--checkpoint-dir", "c",
+    ])
+    assert args.x0_clip == "auto" and args.noise_scale == 1.0
+
+    for raw, want in (("none", None), ("0", None), ("auto", "auto"),
+                      ("3.5", 3.5)):
+        args = sample_cli.parse_args([
+            "--patch", "x.npz", "--checkpoint-dir", "c", "--x0-clip", raw,
+        ])
+        mapped = (
+            None if str(args.x0_clip).lower() in ("none", "0")
+            else "auto" if args.x0_clip == "auto"
+            else float(args.x0_clip)
+        )
+        assert mapped == want, raw
