@@ -27,7 +27,7 @@ import numpy as np
 from diffab_pytorch_tpu.config import default_config, tiny_config
 from diffab_pytorch_tpu.constants import AA_THREE, THREE_TO_ONE
 from diffab_pytorch_tpu.data.dataset import assemble_batch
-from diffab_pytorch_tpu.parallel import make_mesh, replicate_batch, sample_sharded
+from diffab_pytorch_tpu.parallel import make_mesh, sample_fanout_sharded
 from diffab_pytorch_tpu.structure import antibody, featurize_patch, write_pdb
 from diffab_pytorch_tpu.structure.patch import load_patch
 from diffab_pytorch_tpu.train import DiffAb
@@ -92,7 +92,6 @@ def main(argv=None) -> int:
     state = ckpt_lib.restore_checkpoint(args.checkpoint_dir, state)
     print(f"[sample] restored checkpoint at step {int(state.step)}")
 
-    fan = replicate_batch(batch, args.n_samples)
     kwargs = dict(
         generate_structure=args.mode != "fix-structure",
         generate_sequence=args.mode != "fix-sequence",
@@ -104,14 +103,22 @@ def main(argv=None) -> int:
             else float(args.x0_clip)
         ),
     )
+    # n designs of ONE target: the shared-context fan-out (one copy of the
+    # pair tensor / bias logits for all designs — sampling/sampler.py
+    # n_designs; the old replicate_batch path tiled them n-fold)
     key = jax.random.key(args.seed)
     if args.data_parallel:
         mesh = make_mesh()
-        result = sample_sharded(harness, state.params, fan, key, mesh, **kwargs)
+        result = sample_fanout_sharded(
+            harness, state.params, batch, key, mesh,
+            n_designs=args.n_samples, **kwargs,
+        )
     else:
         result = jax.jit(
-            lambda p, b, k: harness.sample(p, b, k, **kwargs)
-        )(state.params, fan, key)
+            lambda p, b, k: harness.sample(
+                p, b, k, n_designs=args.n_samples, **kwargs
+            )
+        )(state.params, batch, key)
 
     os.makedirs(args.out_dir, exist_ok=True)
     seqs = np.asarray(result.seq_idx)

@@ -75,7 +75,22 @@ class Denoiser(nn.Module):
         d = cfg.d_residue_emb
         b, L = seq_idx_t.shape
 
-        # fuse noisy-sequence embedding with the context embedding
+        # fuse noisy-sequence embedding with the context embedding.  Under
+        # design fan-out (models/ipa.py) the context tensors carry batch
+        # bp = b // n while the noisy state carries b; the small residue
+        # embedding broadcasts across each target's n designs here (XLA
+        # fuses the broadcast into the consumer — no materialized tile),
+        # and the big pair tensor stays at bp all the way into attention.
+        bc = res_context_emb.shape[0]
+        if bc != b:
+            if b % bc:
+                raise ValueError(
+                    f"state batch {b} is not a multiple of context batch {bc}"
+                )
+            res_context_emb = jnp.broadcast_to(
+                res_context_emb[:, None],
+                (bc, b // bc) + res_context_emb.shape[1:],
+            ).reshape((b,) + res_context_emb.shape[1:])
         s_emb = nn.Embed(cfg.aa_vocab_size, d, dtype=dt, name="sequence_embedding")(
             seq_idx_t
         )

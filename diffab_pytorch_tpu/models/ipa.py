@@ -76,6 +76,41 @@ def frames_apply_inverse(points: jax.Array, rot: jax.Array, trans: jax.Array) ->
     )
 
 
+def attended_pair_rows(
+    attn: jax.Array, pair: jax.Array, n_designs: int = 1
+) -> jax.Array:
+    """Attention-weighted pair-row reduction, batched over (target, i).
+
+    attn: (b, h, L, L) with b = bp * n_designs (design-major grouping);
+    pair: (bp, L, L, dp).  Returns (b, L, h * dp).
+
+    n_designs == 1: the (b, i)-batched (h, j) @ (j, dp) contraction — reads
+    pair once per row instead of once per head (einsum orderings with the
+    head dim between batch and contraction lower to multiply+reduce fusions
+    that re-read pair; ~40% of sampling time on v5e before this layout).
+    n_designs > 1: the n designs of each target fold into the matmul's M
+    dimension — (n*h, j) @ (j, dp) per (target, i) tile — so the pair tensor
+    (the dominant HBM traffic of the reverse scan) is read ONCE per target
+    regardless of fan-out width.
+    """
+    b, h, L, _ = attn.shape
+    if n_designs == 1:
+        attn_bi = jnp.swapaxes(attn, 1, 2)  # (b, i, h, j)
+        out_pair = jax.lax.dot_general(
+            attn_bi, pair,
+            dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        )  # (b, i, h, dp)
+        return out_pair.reshape(b, L, -1)
+    bp = pair.shape[0]
+    attn_g = attn.reshape(bp, n_designs, h, L, L)
+    out_pair = jax.lax.dot_general(
+        attn_g, pair,
+        dimension_numbers=(((4,), (2,)), ((0, 3), (0, 1))),
+    )  # batch dims (bp, i) + lhs free (n, h) + rhs free (dp)
+    out_pair = jnp.transpose(out_pair, (0, 2, 1, 3, 4))  # (bp, n, i, h, dp)
+    return out_pair.reshape(b, L, -1)
+
+
 class InvariantPointAttentionLayer(nn.Module):
     """One IPA layer.  Hyperparameters from ModelConfig
     (reference diffab_pytorch.py:339-388)."""
@@ -86,12 +121,20 @@ class InvariantPointAttentionLayer(nn.Module):
     def __call__(
         self,
         x: jax.Array,  # (b, L, d_residue)
-        pair: jax.Array,  # (b, L, L, d_pair)
+        pair: jax.Array,  # (bp, L, L, d_pair), bp = b // n_designs
         rot: jax.Array,  # (b, L, 3, 3)
         trans: jax.Array,  # (b, L, 3)
         residue_mask: jax.Array | None = None,  # (b, L)
-        pair_bias: jax.Array | None = None,  # (b, h, L, L) precomputed
+        pair_bias: jax.Array | None = None,  # (bp, h, L, L) precomputed
     ) -> jax.Array:
+        """Design fan-out: when the per-residue state batch b is an integer
+        multiple n of the pair batch bp, rows [i*n, (i+1)*n) are treated as n
+        designs of target i sharing ONE copy of the pair tensor and bias
+        logits.  The pair-row reduction batches the n·h design/head rows
+        against a single pair read per (target, i) tile and the bias add
+        broadcasts — the dominant HBM traffic of the sampler (pair rows +
+        bias logits, DESIGN.md §3) is paid once per target instead of once
+        per design.  n = 1 (equal batches) is the ordinary path."""
         cfg = self.cfg
         dt = cfg.dtype
         h = cfg.n_head
@@ -99,6 +142,12 @@ class InvariantPointAttentionLayer(nn.Module):
         pq = cfg.n_query_point_per_head
         pv = cfg.n_value_point_per_head
         b, L, _ = x.shape
+        bp = pair.shape[0]
+        if b % bp:
+            raise ValueError(
+                f"state batch {b} is not a multiple of pair batch {bp}"
+            )
+        n_designs = b // bp
 
         x = x.astype(dt)
         if residue_mask is not None:
@@ -197,7 +246,15 @@ class InvariantPointAttentionLayer(nn.Module):
 
             logit = logit_scalar + logit_point
             if cfg.use_pair_bias:
-                logit = logit + bias_pair
+                if n_designs == 1:
+                    logit = logit + bias_pair
+                else:
+                    # bias broadcast over the design axis: one bias read per
+                    # target, fused into the (b, h, L, L) logit add
+                    logit = (
+                        logit.reshape(bp, n_designs, h, L, L)
+                        + bias_pair[:, None]
+                    ).reshape(b, h, L, L)
             logit = logit * scale_total
 
             if residue_mask is not None:
@@ -220,13 +277,7 @@ class InvariantPointAttentionLayer(nn.Module):
 
             outs = [out_scalar]
             if cfg.use_pair_bias:
-                # batched over (b, i): (h, j) @ (j, dp) — reads pair ONCE
-                attn_bi = jnp.swapaxes(attn, 1, 2)  # (b, i, h, j)
-                out_pair = jax.lax.dot_general(
-                    attn_bi, pair.astype(dt),
-                    dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-                )  # (b, i, h, dp)
-                outs.append(out_pair.reshape(b, L, -1))
+                outs.append(attended_pair_rows(attn, pair.astype(dt), n_designs))
 
             v_p_t = jnp.swapaxes(v_p, 1, 2).reshape(b, h, L, pv * 3)
             out_point = jax.lax.dot_general(

@@ -10,6 +10,7 @@ from diffab_pytorch_tpu.parallel.dp import (
     make_dp_train_step,
     make_sharded_train_step,
     replicate_batch,
+    sample_fanout_sharded,
     sample_sharded,
     shard_state,
 )

@@ -22,8 +22,6 @@ from __future__ import annotations
 
 import copy
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -38,13 +36,15 @@ from diffab_pytorch_tpu.train.harness import DiffAb, TrainState
 
 def _xla_attention_harness(harness: DiffAb) -> DiffAb:
     """A functionally identical harness with the fused Pallas attention
-    forced OFF, for the GSPMD code paths below.
+    forced OFF, for the one remaining GSPMD code path
+    (`make_sharded_train_step`).
 
     GSPMD partitions programs by propagating shardings through known HLO
     ops; a `pallas_call` is an opaque custom call it cannot split, so the
-    kernel is only safe where tracing happens at per-device LOCAL shapes
-    (the shard_map dp path keeps it).  The plain-jit sharded train step and
-    sampling fan-out trace at GLOBAL shapes and must use the pure-XLA
+    kernel is only safe where tracing happens at per-device LOCAL shapes —
+    which all shard_map paths (dp train step, `sample_sharded`,
+    `sample_fanout_sharded`) do, keeping the kernel ON.  Only the plain-jit
+    GSPMD train step traces at GLOBAL shapes and must use the pure-XLA
     attention path.  The flag only selects the computation; the parameter
     tree is identical, so states/checkpoints interchange freely.  Shallow
     copy: schedule/IGSO3 tables and the optimizer are shared, not rebuilt.
@@ -159,6 +159,23 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     )
 
 
+def _sample_out_specs(return_trajectory: bool):
+    """shard_map out_specs for a SampleResult: outputs shard over dp on the
+    batch axis — axis 0 for final fields, axis 1 for (T, b, ...) trajectory
+    fields.  None fields are empty subtrees and need no spec."""
+    from diffab_pytorch_tpu.sampling.sampler import SampleResult
+
+    traj = P(None, DP_AXIS) if return_trajectory else None
+    return SampleResult(
+        seq_idx=P(DP_AXIS),
+        translations=P(DP_AXIS),
+        orientations=P(DP_AXIS),
+        seq_trajectory=traj,
+        translations_trajectory=traj,
+        orientations_trajectory=traj,
+    )
+
+
 def sample_sharded(
     harness: DiffAb,
     params,
@@ -167,25 +184,86 @@ def sample_sharded(
     mesh: Mesh,
     **sample_kwargs,
 ):
-    """Pod-scale design fan-out: shard the batch over dp, replicate params,
-    run the full reverse scan SPMD (BASELINE config #5).
+    """Pod-scale sampling: shard the batch rows over dp, replicate params,
+    run the reverse scan per device under shard_map (BASELINE config #5).
 
-    The batch leading dim must be divisible by the dp axis size; replicate
-    one target complex into b rows for b parallel designs.
+    shard_map traces at per-device LOCAL shapes, so the fused Pallas
+    attention kernel stays ON (round-1 VERDICT #3: the previous GSPMD-jit
+    version had to force the XLA path because GSPMD cannot partition an
+    opaque pallas_call).  Each device folds its dp index into the key, so
+    rows on different devices draw independent noise; the draw stream
+    therefore differs from (but is statistically equivalent to) a
+    single-device run over the global batch.  tests/test_parallel.py pins
+    exact numerics against a per-device host loop with the same folds.
+
+    For n designs of ONE target prefer `sample_fanout_sharded`, which also
+    shares the pair tensors across each device's designs.
     """
-    harness = _xla_attention_harness(harness)
     b = batch.batch_size
     ndp = mesh.shape[DP_AXIS]
     if b % ndp:
         raise ValueError(f"batch size {b} not divisible by dp={ndp}")
-    batch = jax.device_put(batch, batch_sharding(mesh))
-    params = jax.device_put(params, param_sharding(params, mesh))
 
-    fn = jax.jit(
-        partial(harness.sample, **sample_kwargs),
-        static_argnames=(),
+    def per_device(params, batch, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
+        return harness.sample(params, batch, key, **sample_kwargs)
+
+    mapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(DP_AXIS), P()),
+        out_specs=_sample_out_specs(sample_kwargs.get("return_trajectory", False)),
+        check_vma=False,
     )
-    return fn(params, batch, key)
+    params = jax.device_put(params, replicated(mesh))
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    key = jax.device_put(key, replicated(mesh))
+    return jax.jit(mapped)(params, batch, key)
+
+
+def sample_fanout_sharded(
+    harness: DiffAb,
+    params,
+    batch: ProteinBatch,
+    key: jax.Array,
+    mesh: Mesh,
+    n_designs: int,
+    **sample_kwargs,
+):
+    """The flagship fan-out (BASELINE config #5: 8-10k designs per target):
+    n_designs spread over the dp axis, n_designs/ndp per device, with the
+    batch (the target complexes) REPLICATED — each device encodes the
+    context once and its local designs share one copy of the pair tensor
+    and bias logits (sampler n_designs path + Pallas design-grid axis).
+
+    Output rows are device-major then design-major: with b targets, row
+    ((d * b) + i) * n_local + j is design j of target i on device d; for
+    the common b == 1 case that is simply n_designs rows of the one target.
+    Per-device key folds make every design's draw stream independent.
+    """
+    ndp = mesh.shape[DP_AXIS]
+    if n_designs % ndp:
+        raise ValueError(f"n_designs={n_designs} not divisible by dp={ndp}")
+    n_local = n_designs // ndp
+
+    def per_device(params, batch, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
+        return harness.sample(
+            params, batch, key, n_designs=n_local, **sample_kwargs
+        )
+
+    mapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=_sample_out_specs(sample_kwargs.get("return_trajectory", False)),
+        check_vma=False,
+    )
+    rep = replicated(mesh)
+    params = jax.device_put(params, rep)
+    batch = jax.device_put(batch, rep)
+    key = jax.device_put(key, rep)
+    return jax.jit(mapped)(params, batch, key)
 
 
 def replicate_batch(batch: ProteinBatch, n: int) -> ProteinBatch:

@@ -50,6 +50,7 @@ class SampleResult:
     orientations: jax.Array  # (b, L, 3, 3)
     seq_trajectory: jax.Array | None = None  # (T, b, L)
     translations_trajectory: jax.Array | None = None  # (T, b, L, 3)
+    orientations_trajectory: jax.Array | None = None  # (T, b, L, 3, 3)
 
 
 def sample(
@@ -67,9 +68,20 @@ def sample(
     x0_clip: object = "auto",
     noise_scale: float = 1.0,
     orientation_noise_scale: float = 1.0,
+    n_designs: int = 1,
 ) -> SampleResult:
-    """Run the full reverse loop.  jit-compatible (flags and t_start are
-    Python-static).
+    """Run the full reverse loop.  jit-compatible (flags, t_start and
+    n_designs are Python-static).
+
+    n_designs > 1 generates n independent designs PER BATCH ROW while
+    sharing one copy of the target's context: the context embeddings,
+    pair tensor and per-layer pair-bias logits — the dominant HBM traffic
+    of the reverse scan (DESIGN.md §3) — are computed and READ once per
+    target instead of once per design (models/ipa.py design fan-out).
+    Results are design-major: output row i*n_designs + d is design d of
+    input target i.  This supersedes `parallel.replicate_batch` + a larger
+    batch, which tiles the pair tensors n-fold in HBM and re-reads them
+    every design.
 
     t_start = None or T: generation from the prior.
     1 <= t_start < T:    optimization — renoise the input CDRs to t_start
@@ -93,6 +105,9 @@ def sample(
         raise ValueError(f"t_start must be in [1, {T}], got {t_start}")
     if not (generate_structure or generate_sequence):
         raise ValueError("nothing to generate: both modalities are fixed")
+    n = int(n_designs)
+    if n < 1:
+        raise ValueError(f"n_designs must be >= 1, got {n}")
 
     b = batch.batch_size
     gen = batch.generation_mask & batch.residue_mask
@@ -108,6 +123,19 @@ def sample(
             axis=(1, 2),
         )  # (b,)
         x0_clip = 1.5 * jnp.maximum(ctx_extent, 1.0)
+
+    # Design fan-out: only the SMALL per-residue context fields tile to
+    # b*n rows (masks, sequence, frames — KBs); the pair tensor and bias
+    # logits stay at batch b and are shared inside attention.
+    rep = (lambda a: jnp.repeat(a, n, axis=0)) if n > 1 else (lambda a: a)
+    seq_ctx = rep(batch.seq_idx)
+    x_ctx = rep(batch.translations)
+    r_ctx = rep(batch.orientations)
+    res_mask = rep(batch.residue_mask)
+    gen, seq_gen, struct_gen = rep(gen), rep(seq_gen), rep(struct_gen)
+    if isinstance(x0_clip, jax.Array) and x0_clip.ndim == 1:
+        x0_clip = rep(x0_clip)
+    bn = b * n
 
     # 1. context encoding, once — including the per-layer pair-bias logits,
     # which are t-independent (hoisted out of the scan; the reference
@@ -129,27 +157,27 @@ def sample(
     k_init, k_loop = jax.random.split(key)
     ks, kx, kr = jax.random.split(k_init, 3)
     if t_start == T:
-        seq_t = sequence.sample_prior(ks, batch.seq_idx, seq_gen,
+        seq_t = sequence.sample_prior(ks, seq_ctx, seq_gen,
                                       model.cfg.aa_vocab_size)
-        x_t = coordinate.sample_prior(kx, batch.translations, struct_gen)
-        r_t = orientation.sample_prior(kr, batch.orientations, struct_gen)
+        x_t = coordinate.sample_prior(kx, x_ctx, struct_gen)
+        r_t = orientation.sample_prior(kr, r_ctx, struct_gen)
     else:
-        tvec = jnp.full((b,), t_start, dtype=jnp.int32)
+        tvec = jnp.full((bn,), t_start, dtype=jnp.int32)
         seq_t = sequence.diffuse_from_t0(
-            ks, sched, batch.seq_idx, tvec, seq_gen,
+            ks, sched, seq_ctx, tvec, seq_gen,
             model.cfg.aa_vocab_size, return_posterior=False,
         )
         x_t = coordinate.diffuse_from_t0(
-            kx, sched, batch.translations, tvec, struct_gen, return_eps=False
+            kx, sched, x_ctx, tvec, struct_gen, return_eps=False
         )
         r_t = orientation.diffuse_from_t0(
-            kr, tables, batch.orientations, tvec, struct_gen
+            kr, tables, r_ctx, tvec, struct_gen
         )
 
     # 3. the reverse scan, t = t_start .. 1, fully on device
     def body(carry, t):
         seq_t, x_t, r_t = carry
-        tvec = jnp.full((b,), t, dtype=jnp.int32)
+        tvec = jnp.full((bn,), t, dtype=jnp.int32)
         beta = sched.beta[tvec]
 
         denoised = model.apply(
@@ -161,7 +189,7 @@ def sample(
             pair_emb,
             beta,
             gen,
-            batch.residue_mask,
+            res_mask,
             pair_biases=pair_biases,
             method="denoise",
         )
@@ -179,7 +207,7 @@ def sample(
             k3, tables, r_t, denoised["orientations_t0"], tvec, struct_gen,
             noise_scale=orientation_noise_scale,
         )
-        ys = (seq_next, x_next) if return_trajectory else None
+        ys = (seq_next, x_next, r_next) if return_trajectory else None
         return (seq_next, x_next, r_next), ys
 
     (seq_0, x_0, r_0), ys = jax.lax.scan(
@@ -192,6 +220,7 @@ def sample(
         orientations=r_0,
         seq_trajectory=ys[0] if return_trajectory else None,
         translations_trajectory=ys[1] if return_trajectory else None,
+        orientations_trajectory=ys[2] if return_trajectory else None,
     )
 
 

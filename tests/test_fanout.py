@@ -1,0 +1,190 @@
+"""Design fan-out: n designs per target sharing one copy of the context.
+
+Round-1 VERDICT #1/#3: the flagship use case (8-10k designs per target,
+BASELINE config #5, SURVEY.md §2.10) used to tile the pair tensor n-fold via
+`replicate_batch` and re-read it every design.  The `n_designs` path
+(sampling/sampler.py + models/ipa.py attended_pair_rows + the Pallas
+design-grid axis) keeps ONE pair copy per target; these tests pin that it is
+numerically a drop-in for the replicate_batch path, and that the shard_map
+sampling wrappers (which keep the fused kernel, unlike the old GSPMD-jit
+version) match a per-device host loop exactly.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffab_pytorch_tpu.config import tiny_config
+from diffab_pytorch_tpu.data.batch import synthetic_batch
+from diffab_pytorch_tpu.parallel import (
+    make_mesh,
+    replicate_batch,
+    sample_fanout_sharded,
+    sample_sharded,
+)
+from diffab_pytorch_tpu.train import DiffAb
+
+L = 24
+
+
+@pytest.fixture(scope="module")
+def harness():
+    return DiffAb(tiny_config())
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return synthetic_batch(jax.random.key(0), 2, L, 15, n_generate=6)
+
+
+@pytest.fixture(scope="module")
+def state(harness, batch):
+    return harness.init(jax.random.key(1), batch)
+
+
+def test_fanout_matches_replicate_batch(harness, batch, state):
+    """sample(n_designs=n) draws the identical noise stream as
+    sample(replicate_batch(batch, n)) — same shapes, same key — so the two
+    paths must agree exactly on sequences and to fp tolerance on geometry."""
+    n = 4
+    r_rep = harness.sample(state.params, replicate_batch(batch, n),
+                           jax.random.key(2))
+    r_fan = harness.sample(state.params, batch, jax.random.key(2), n_designs=n)
+    np.testing.assert_array_equal(np.asarray(r_rep.seq_idx),
+                                  np.asarray(r_fan.seq_idx))
+    np.testing.assert_allclose(np.asarray(r_rep.translations),
+                               np.asarray(r_fan.translations),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_rep.orientations),
+                               np.asarray(r_fan.orientations),
+                               rtol=1e-5, atol=1e-5)
+    # designs within a target differ; context residues are clamped
+    gen = np.asarray(batch.generation_mask[0])
+    seqs = np.asarray(r_fan.seq_idx)[:4, gen]
+    assert len({tuple(s) for s in seqs}) > 1
+    ctx = ~np.asarray(replicate_batch(batch, n).generation_mask)
+    np.testing.assert_array_equal(
+        np.asarray(r_fan.seq_idx)[ctx],
+        np.asarray(replicate_batch(batch, n).seq_idx)[ctx],
+    )
+
+
+def test_fanout_pallas_matches_xla(harness, batch, state):
+    """The Pallas design-grid axis (grid (targets, designs), bias block
+    revisited from VMEM) computes the same fan-out as the XLA path."""
+    cfg = dataclasses.replace(
+        harness.config,
+        model=dataclasses.replace(harness.config.model,
+                                  use_pallas_attention=True),
+    )
+    hp = DiffAb(cfg)
+    r_fan = harness.sample(state.params, batch, jax.random.key(2), n_designs=3)
+    r_pal = hp.sample(state.params, batch, jax.random.key(2), n_designs=3)
+    assert r_pal.seq_idx.shape == (6, L)
+    np.testing.assert_allclose(np.asarray(r_pal.translations),
+                               np.asarray(r_fan.translations),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fanout_trajectory_records_orientations(harness, batch, state):
+    res = harness.sample(state.params, batch, jax.random.key(3), n_designs=2,
+                         return_trajectory=True)
+    T = harness.sched.T
+    assert res.orientations_trajectory.shape == (T, 4, L, 3, 3)
+    assert res.seq_trajectory.shape == (T, 4, L)
+    # the last trajectory frame is the returned state
+    np.testing.assert_allclose(np.asarray(res.orientations_trajectory[-1]),
+                               np.asarray(res.orientations), rtol=0, atol=0)
+
+
+def test_fanout_t_restart(harness, batch, state):
+    """Optimization-by-renoising composes with the fan-out."""
+    res = harness.sample(state.params, batch, jax.random.key(4), n_designs=2,
+                         t_start=5)
+    assert res.seq_idx.shape == (4, L)
+    assert np.isfinite(np.asarray(res.translations)).all()
+
+
+def test_sample_sharded_matches_per_device_loop(harness, batch, state):
+    """shard_map sampling == a host loop running each device's shard with
+    the same dp-index key fold — exact equality, kernel path included
+    (VERDICT #3's numerics check)."""
+    mesh = make_mesh()
+    one = jax.tree.map(lambda x: x[:1], batch)
+    fan = replicate_batch(one, 8)
+    res = sample_sharded(harness, state.params, fan, jax.random.key(9), mesh)
+
+    expected = []
+    for d in range(8):
+        shard = jax.tree.map(lambda x: x[d:d + 1], fan)
+        k = jax.random.fold_in(jax.random.key(9), d)
+        expected.append(harness.sample(state.params, shard, k))
+    np.testing.assert_array_equal(
+        np.asarray(res.seq_idx),
+        np.concatenate([np.asarray(e.seq_idx) for e in expected]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.translations),
+        np.concatenate([np.asarray(e.translations) for e in expected]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_sample_fanout_sharded(harness, batch, state):
+    """16 designs over 8 devices = 2 designs/device sharing one context;
+    equals a host loop of sample(n_designs=2) with per-device key folds."""
+    mesh = make_mesh()
+    one = jax.tree.map(lambda x: x[:1], batch)
+    res = sample_fanout_sharded(
+        harness, state.params, one, jax.random.key(7), mesh, n_designs=16
+    )
+    assert res.seq_idx.shape == (16, L)
+
+    expected = []
+    for d in range(8):
+        k = jax.random.fold_in(jax.random.key(7), d)
+        expected.append(harness.sample(state.params, one, k, n_designs=2))
+    np.testing.assert_array_equal(
+        np.asarray(res.seq_idx),
+        np.concatenate([np.asarray(e.seq_idx) for e in expected]),
+    )
+
+    gen = np.asarray(one.generation_mask[0])
+    seqs = np.asarray(res.seq_idx)[:, gen]
+    assert len({tuple(s) for s in seqs}) > 1  # distinct designs
+    ctx = ~gen
+    np.testing.assert_array_equal(
+        np.asarray(res.seq_idx)[:, ctx],
+        np.broadcast_to(np.asarray(one.seq_idx)[0, ctx], (16, ctx.sum())),
+    )
+
+    with pytest.raises(ValueError, match="divisible"):
+        sample_fanout_sharded(harness, state.params, one, jax.random.key(7),
+                              mesh, n_designs=12)
+
+
+def test_sharded_sampling_keeps_pallas_kernel(harness, batch, state, monkeypatch):
+    """The shard_map wrappers must NOT clone the harness onto the XLA
+    attention path (that was the round-1 defect): forcing the kernel ON and
+    poisoning the clone helper proves it is never consulted."""
+    import diffab_pytorch_tpu.parallel.dp as dp_mod
+
+    def boom(_):
+        raise AssertionError("sampling path must not force XLA attention")
+
+    monkeypatch.setattr(dp_mod, "_xla_attention_harness", boom)
+    cfg = dataclasses.replace(
+        harness.config,
+        model=dataclasses.replace(harness.config.model,
+                                  use_pallas_attention=True),
+    )
+    hp = DiffAb(cfg)
+    mesh = make_mesh()
+    one = jax.tree.map(lambda x: x[:1], batch)
+    res = sample_fanout_sharded(
+        hp, state.params, one, jax.random.key(5), mesh, n_designs=8
+    )
+    assert np.isfinite(np.asarray(res.translations)).all()
