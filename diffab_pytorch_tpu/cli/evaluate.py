@@ -52,17 +52,23 @@ def _design_arrays(path: str, n_expected: int):
     cli.sample writes residues in patch row order (masked rows only), so
     file order IS patch order; resseq/chain stay available as a guard."""
     chains = parse_pdb_file(path)
-    seq, ca, resnums = [], [], []
+    seq, xyz, amask, resnums = [], [], [], []
     for chain_id, residues in chains.items():
         for r in residues:
             seq.append(r.aa_index)
-            ca.append(r.xyz[ATOM.CA])
+            xyz.append(r.xyz)
+            amask.append(r.atom_mask)
             resnums.append(r.resseq)
     if len(seq) != n_expected:
         raise ValueError(
             f"{path}: {len(seq)} residues, native patch has {n_expected}"
         )
-    return np.array(seq), np.array(ca, np.float32), np.array(resnums)
+    return (
+        np.array(seq),
+        np.array(xyz, np.float32),
+        np.array(amask, bool),
+        np.array(resnums),
+    )
 
 
 def main(argv=None) -> int:
@@ -98,18 +104,32 @@ def main(argv=None) -> int:
     from diffab_pytorch_tpu.evaluation import (
         aligned_ca_rmsd,
         amino_acid_recovery,
+        backbone_validity,
         ca_rmsd,
         sequence_diversity,
     )
 
+    chain_idx = native["chain_idx"][res_mask]
+    residue_idx = native["residue_idx"][res_mask]
+
     rows = []
     seqs = []
     for path in paths:
-        seq, ca, resnums = _design_arrays(path, n_rows)
+        seq, xyz, amask, resnums = _design_arrays(path, n_rows)
         if not np.array_equal(resnums, native_resnums):
             raise ValueError(
                 f"{path}: residue numbering differs from the native patch"
             )
+        ca = xyz[:, ATOM.CA, :]
+        # stereochemistry gate: peptide bonds / CA continuity across the
+        # designed loop + anchors, CA clashes vs context (PDB coords are
+        # already in angstroms).  Rows missing backbone N or C (possible in
+        # native context) drop out of the edge set rather than fake-violate.
+        has_bb = amask[:, ATOM.N] & amask[:, ATOM.CA] & amask[:, ATOM.C]
+        val = backbone_validity(
+            xyz[None, :, ATOM.N, :], ca[None], xyz[None, :, ATOM.C, :],
+            has_bb[None], chain_idx[None], residue_idx[None], gen[None],
+        )
         m = {
             "design": os.path.basename(path),
             "aar": float(
@@ -121,6 +141,11 @@ def main(argv=None) -> int:
                     ca[None], native_ca[None], gen[None], ctx[None]
                 )[0]
             ),
+            "bond_viol": int(val["bond_viol"][0]),
+            "bond_max_dev": float(val["bond_max_dev"][0]),
+            "ca_break": int(val["ca_break"][0]),
+            "clash_count": int(val["clash_count"][0]),
+            "valid": bool(val["valid"][0]),
         }
         rows.append(m)
         seqs.append(seq)
@@ -129,10 +154,14 @@ def main(argv=None) -> int:
         sequence_diversity(np.stack(seqs), gen)
     ) if len(seqs) > 1 else 0.0
 
-    print(f"{'design':<20s} {'AAR':>6s} {'RMSD(A)':>8s} {'alnRMSD':>8s}")
+    print(f"{'design':<20s} {'AAR':>6s} {'RMSD(A)':>8s} {'alnRMSD':>8s} "
+          f"{'valid':>6s}")
     for m in rows:
+        flag = "ok" if m["valid"] else (
+            f"b{m['bond_viol']}/c{m['ca_break']}/x{m['clash_count']}"
+        )
         print(f"{m['design']:<20s} {m['aar']:>6.3f} "
-              f"{m['ca_rmsd']:>8.3f} {m['ca_rmsd_aligned']:>8.3f}")
+              f"{m['ca_rmsd']:>8.3f} {m['ca_rmsd_aligned']:>8.3f} {flag:>6s}")
     agg = {
         "n_designs": len(rows),
         "cdrs": args.cdrs,
@@ -144,9 +173,13 @@ def main(argv=None) -> int:
             np.mean([m["ca_rmsd_aligned"] for m in rows])
         ),
         "diversity": diversity,
+        "valid_rate": float(np.mean([m["valid"] for m in rows])),
+        "bond_viol_rate": float(np.mean([m["bond_viol"] > 0 for m in rows])),
+        "clash_rate": float(np.mean([m["clash_count"] > 0 for m in rows])),
     }
     print(f"{'mean':<20s} {agg['aar_mean']:>6.3f} {agg['ca_rmsd_mean']:>8.3f} "
-          f"{agg['ca_rmsd_aligned_mean']:>8.3f}   diversity={diversity:.3f}")
+          f"{agg['ca_rmsd_aligned_mean']:>8.3f}   diversity={diversity:.3f} "
+          f"valid={agg['valid_rate']:.2f}")
 
     if args.json:
         with open(args.json, "w") as fh:

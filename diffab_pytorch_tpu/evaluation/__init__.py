@@ -1,8 +1,10 @@
 from diffab_pytorch_tpu.evaluation.metrics import (
     aligned_ca_rmsd,
     amino_acid_recovery,
+    backbone_validity,
     ca_rmsd,
     evaluate_designs,
     kabsch,
     sequence_diversity,
+    validity_from_result,
 )
