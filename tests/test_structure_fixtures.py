@@ -192,3 +192,117 @@ class TestPatchOnFixture:
         assert (sample["cdr_idx"] > 0).any()
         assert sample["residue_mask"].any()
         assert np.isfinite(sample["xyz"][sample["atom_mask"] > 0]).all()
+
+
+FIXTURE2 = os.path.join(os.path.dirname(__file__), "fixtures", "ab2_hostile.pdb")
+
+
+@pytest.fixture(scope="module")
+def text2():
+    with open(FIXTURE2) as f:
+        return f.read()
+
+
+@pytest.fixture(scope="module")
+def chains2(text2):
+    return parse_pdb(text2, prefer_native=False)
+
+
+class TestHostileFixture2:
+    """Second hostile fixture (round-1 VERDICT next #7): pathologies ab1
+    does not cover — split/duplicated chain blocks, lowercase chain ids,
+    negative residue numbers, non-MSE HETATM residues, waters/ligands
+    under a protein chain id, a CA-only chain."""
+
+    def test_split_chain_blocks_merge_in_order(self, chains2):
+        # H appears as residues 1-50, then L, then H 51-118: one chain,
+        # file order, 117 residues (PCA residue 20 dropped)
+        nums = [r.resseq for r in chains2["H"]]
+        assert nums == sorted(nums)
+        assert len(nums) == 117
+        assert nums[0] == 1 and nums[-1] == 118
+
+    def test_unknown_resname_becomes_backbone_only_unk(self, chains2):
+        from diffab_pytorch_tpu.constants import AA
+
+        (r10,) = [r for r in chains2["H"] if r.resseq == 10]
+        assert r10.resname == "UNK"
+        assert r10.aa_index == int(AA.UNK)
+        # backbone kept, the CB record has no slot for UNK
+        assert list(np.nonzero(r10.atom_mask)[0]) == [0, 1, 2, 3]
+
+    def test_non_mse_hetatm_residue_dropped(self, chains2):
+        # PCA (pyroglutamate) is NOT whitelisted like MSE: residue 20 gone
+        assert all(r.resseq != 20 for r in chains2["H"])
+
+    def test_lowercase_chain_with_negative_numbers(self, chains2):
+        assert "a" in chains2
+        nums = [r.resseq for r in chains2["a"]]
+        assert nums[:5] == [-3, -2, -1, 0, 1]
+        assert len(nums) == 29
+
+    def test_waters_and_ligands_ignored(self, chains2):
+        # HOH (resseq 200-202) and NAG (301) under chain a must not appear
+        assert all(r.resseq < 200 for r in chains2["a"])
+
+    def test_ca_only_chain_survives(self, chains2):
+        assert len(chains2["B"]) == 20
+        for r in chains2["B"]:
+            assert list(np.nonzero(r.atom_mask)[0]) == [1]  # CA only
+
+    def test_native_parser_parity_on_fixture2(self, text2, chains2):
+        if not native.available():
+            pytest.skip("native parser library unavailable")
+        got = native.parse_pdb_native(text2)
+        assert got is not None
+        assert sorted(got) == sorted(chains2)
+        for ch in chains2:
+            assert len(got[ch]) == len(chains2[ch])
+            for a, b in zip(got[ch], chains2[ch]):
+                assert (a.resseq, a.icode, a.resname) == (
+                    b.resseq, b.icode, b.resname
+                )
+                np.testing.assert_array_equal(a.atom_mask, b.atom_mask)
+                np.testing.assert_allclose(a.xyz, b.xyz, atol=1e-4)
+
+
+class TestWriteParseRoundTrip:
+    """write_pdb -> parse_pdb is the identity on parsed content, for every
+    fixture (round-1 VERDICT next #7).  The designed-output round trip is
+    covered end-to-end by the sample-CLI tests re-parsing design PDBs."""
+
+    @pytest.mark.parametrize("fixture_file", ["ab1_chothia.pdb",
+                                              "ab2_hostile.pdb"])
+    def test_roundtrip(self, fixture_file, tmp_path):
+        from diffab_pytorch_tpu.structure.pdb import (
+            parse_pdb_file, write_pdb,
+        )
+
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            fixture_file)
+        chains = parse_pdb_file(path, prefer_native=False)
+
+        xyz, amask, seq, chain_ids, nums, icodes = [], [], [], [], [], []
+        for ch, residues in chains.items():
+            for r in residues:
+                xyz.append(r.xyz)
+                amask.append(r.atom_mask)
+                seq.append(r.aa_index)
+                chain_ids.append(ch)
+                nums.append(r.resseq)
+                icodes.append(ord(r.icode))
+        out = str(tmp_path / "rt.pdb")
+        write_pdb(out, np.array(xyz), np.array(amask), np.array(seq),
+                  chain_ids, np.array(nums), np.array(icodes))
+
+        back = parse_pdb_file(out, prefer_native=False)
+        assert sorted(back) == sorted(chains)
+        for ch in chains:
+            assert len(back[ch]) == len(chains[ch]), ch
+            for a, b in zip(back[ch], chains[ch]):
+                assert (a.resseq, a.icode) == (b.resseq, b.icode)
+                assert a.aa_index == b.aa_index
+                # UNK re-parses backbone-only; otherwise masks round-trip
+                np.testing.assert_array_equal(a.atom_mask, b.atom_mask)
+                sel = a.atom_mask
+                np.testing.assert_allclose(a.xyz[sel], b.xyz[sel], atol=2e-3)
