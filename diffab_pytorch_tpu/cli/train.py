@@ -38,6 +38,10 @@ def parse_args(argv=None):
     p.add_argument("--cdrs", nargs="+", default=["H3"],
                    help="CDRs to generate (subset of H1 H2 H3 L1 L2 L3)")
     p.add_argument("--val-pct", type=float, default=0.1)
+    p.add_argument("--no-cache-data", action="store_true",
+                   help="Disable the in-RAM normalized-sample cache "
+                        "(~35 KB/sample; keeps the single-core host "
+                        "pipeline from starving the device)")
     p.add_argument("-b", "--bsz", type=int, default=16)
     p.add_argument("-e", "--epochs", type=int, default=60)
     p.add_argument("--max-steps", type=int, default=None)
@@ -109,7 +113,8 @@ def main(argv=None) -> int:
     n_val = int(len(order) * args.val_pct)
     val_paths = [ds.paths[i] for i in order[:n_val]]
     train_paths = [ds.paths[i] for i in order[n_val:]]
-    train_ds = PatchDataset(train_paths, cdrs_to_generate=args.cdrs)
+    train_ds = PatchDataset(train_paths, cdrs_to_generate=args.cdrs,
+                            cache=not args.no_cache_data)
     val_ds = PatchDataset(val_paths, cdrs_to_generate=args.cdrs) if n_val else None
 
     harness = DiffAb(cfg)

@@ -103,6 +103,54 @@ def generation_mask_from_cdr(
     return np.isin(cdr_idx, wanted)
 
 
+def normalize_sample(
+    s: Dict[str, np.ndarray], cdrs_to_generate: Sequence[str]
+) -> Dict[str, np.ndarray]:
+    """Per-sample half of batch assembly: normalized pose + masks.
+
+    Center on the CONTEXT CA centroid (not the generated CDR — its
+    coordinates are unknown at sampling time), then rotate into the
+    context's canonical principal-axes pose.  Both are functions of
+    the FIXED residues only, so they are available at sampling time,
+    and both are required: translation because the coordinate prior
+    is N(0, I), rotation because the orientation forward kernel
+    shrinks frames toward the GLOBAL identity — a model trained on
+    arbitrarily posed complexes would have to learn every pose's
+    noise field (divergence #11/#18, DESIGN.md §2).
+
+    This transform depends only on the sample and the cdr subset, so its
+    result is CACHEABLE across epochs (PatchDataset cache=True) — the
+    per-epoch host path is then pure stacking.  Round-1 VERDICT weak #4:
+    load+normalize per batch left the device idle ~2/3 of the time.
+
+    Returns a dict of the original keys with xyz/orientations replaced by
+    their normalized versions, plus generation_mask, norm_center, norm_rot.
+    """
+    gen = generation_mask_from_cdr(s["cdr_idx"], cdrs_to_generate)
+    gen = gen & s["residue_mask"].astype(bool)
+    xyz = s["xyz"].astype(np.float32)
+    orientations = s["orientations"].astype(np.float32)
+
+    ctx = s["residue_mask"].astype(bool) & ~gen & s["atom_mask"][:, 1].astype(bool)
+    w = ctx.astype(np.float32)[None]  # (1, L): reuse the batched helpers
+    denom = np.maximum(w.sum(1), 1.0)
+    center = (xyz[None, :, 1, :] * w[..., None]).sum(1) / denom[:, None]
+    xyz = xyz - center[0][None, None, :]
+    rot = _canonical_rotation(xyz[None, :, 1, :], w)[0]
+    xyz = np.einsum("lai,ij->laj", xyz, rot) / COORD_SCALE
+    orientations = np.einsum("lij,jk->lik", orientations, rot)
+    # zero out coordinates of masked atom slots (garbage-proofing)
+    xyz = np.where(s["atom_mask"][..., None].astype(bool), xyz, 0.0)
+
+    out = dict(s)
+    out["xyz"] = xyz.astype(np.float32)
+    out["orientations"] = orientations.astype(np.float32)
+    out["generation_mask"] = gen
+    out["norm_center"] = center[0].astype(np.float32)
+    out["norm_rot"] = rot
+    return out
+
+
 def assemble_batch(
     samples: List[Dict[str, np.ndarray]],
     cdrs_to_generate: Sequence[str] = ("H3",),
@@ -110,37 +158,30 @@ def assemble_batch(
     host_pairwise_dihedrals: bool = False,
 ) -> tuple[ProteinBatch, NormalizationInfo]:
     """Stack patch dicts into a ProteinBatch (+ the coord transform)."""
+    if normalize:
+        samples = [
+            s if "norm_center" in s else normalize_sample(s, cdrs_to_generate)
+            for s in samples
+        ]
     stack = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
     b, L = stack["seq_idx"].shape
 
-    gen_mask = generation_mask_from_cdr(stack["cdr_idx"], cdrs_to_generate)
-    gen_mask &= stack["residue_mask"]
-
-    xyz = stack["xyz"].astype(np.float32)
-    orientations = stack["orientations"].astype(np.float32)
     if normalize:
-        # center on the CONTEXT CA centroid (not the generated CDR — its
-        # coordinates are unknown at sampling time), then rotate into the
-        # context's canonical principal-axes pose.  Both are functions of
-        # the FIXED residues only, so they are available at sampling time,
-        # and both are required: translation because the coordinate prior
-        # is N(0, I), rotation because the orientation forward kernel
-        # shrinks frames toward the GLOBAL identity — a model trained on
-        # arbitrarily posed complexes would have to learn every pose's
-        # noise field (divergence #11/#18, DESIGN.md §2).
-        ctx = stack["residue_mask"] & ~gen_mask & stack["atom_mask"][:, :, 1]
-        w = ctx.astype(np.float32)
-        denom = np.maximum(w.sum(1), 1.0)  # (b,)
-        center = (xyz[:, :, 1, :] * w[..., None]).sum(1) / denom[:, None]
-        xyz = xyz - center[:, None, None, :]
-        rot = _canonical_rotation(xyz[:, :, 1, :], w)
-        xyz = np.einsum("blai,bij->blaj", xyz, rot) / COORD_SCALE
-        orientations = np.einsum("blij,bjk->blik", orientations, rot)
-        info = NormalizationInfo(center=center, scale=COORD_SCALE, rot=rot)
+        gen_mask = stack["generation_mask"].astype(bool)
+        xyz = stack["xyz"]
+        orientations = stack["orientations"]
+        info = NormalizationInfo(
+            center=stack["norm_center"], scale=COORD_SCALE,
+            rot=stack["norm_rot"],
+        )
     else:
+        gen_mask = generation_mask_from_cdr(stack["cdr_idx"], cdrs_to_generate)
+        gen_mask &= stack["residue_mask"].astype(bool)
+        xyz = stack["xyz"].astype(np.float32)
+        orientations = stack["orientations"].astype(np.float32)
         info = NormalizationInfo(center=np.zeros((b, 3), np.float32), scale=1.0)
-    # zero out coordinates of masked atom slots (garbage-proofing)
-    xyz = np.where(stack["atom_mask"][..., None], xyz, 0.0)
+        # zero out coordinates of masked atom slots (garbage-proofing)
+        xyz = np.where(stack["atom_mask"][..., None].astype(bool), xyz, 0.0)
 
     # By default the O(L^2) inter-residue dihedrals are derived on device
     # inside PairEmbedding (models/embedding.py) — the host only stacks
@@ -184,13 +225,22 @@ class PatchDataset:
         paths: Sequence[str],
         cdrs_to_generate: Sequence[str] = ("H3",),
         require_generated: bool = True,
+        cache: bool = False,
     ):
+        """cache=True keeps each sample's NORMALIZED arrays in RAM after
+        first touch (~35 KB/sample at K=128), so epochs 2+ skip both the
+        compressed-npz decode and the per-sample pose normalization — the
+        two host costs that left the device input-bound (VERDICT weak #4).
+        The cache is keyed by index and valid because normalize_sample is
+        deterministic per (sample, cdrs_to_generate)."""
         bad = set(cdrs_to_generate) - set(CDR_NAMES)
         if bad:
             raise ValueError(f"unknown CDRs {sorted(bad)}; must be in {CDR_NAMES}")
         self.paths = list(paths)
         self.cdrs_to_generate = tuple(cdrs_to_generate)
         self.require_generated = require_generated
+        self.cache = cache
+        self._norm_cache: Dict[int, Dict[str, np.ndarray]] = {}
 
     @classmethod
     def from_dir(cls, data_dir: str, **kwargs) -> "PatchDataset":
@@ -221,16 +271,32 @@ class PatchDataset:
         Skips samples whose generation mask would be empty."""
         rng = np.random.default_rng(seed)
         epoch = 0
+
+        def get(i: int) -> Dict[str, np.ndarray]:
+            if normalize:
+                s = self._norm_cache.get(i)
+                if s is None:
+                    s = normalize_sample(self[i], self.cdrs_to_generate)
+                    if self.cache:
+                        self._norm_cache[i] = s
+                return s
+            return self[i]
+
         while epochs is None or epoch < epochs:
             order = np.arange(len(self.paths))
             if shuffle:
                 rng.shuffle(order)
             buf: List[Dict[str, np.ndarray]] = []
             for i in order:
-                s = self[int(i)]
+                s = get(int(i))
                 if self.require_generated:
-                    gm = generation_mask_from_cdr(s["cdr_idx"], self.cdrs_to_generate)
-                    if not (gm & s["residue_mask"]).any():
+                    if normalize:
+                        gm = s["generation_mask"]
+                    else:
+                        gm = generation_mask_from_cdr(
+                            s["cdr_idx"], self.cdrs_to_generate
+                        ) & s["residue_mask"].astype(bool)
+                    if not gm.any():
                         continue
                 buf.append(s)
                 if len(buf) == batch_size:

@@ -122,7 +122,11 @@ def main(argv=None) -> int:
     val_paths = [p for p in all_paths if stem(p) in val_ids]
     log(f"split: {len(train_paths)} train / {len(val_paths)} val patches")
 
-    train_ds = PatchDataset(train_paths, cdrs_to_generate=args.cdrs)
+    # cache=True: normalized samples stay in RAM after epoch 1, so the
+    # host path is pure stacking — without it the single-core input
+    # pipeline left the device idle ~2/3 of the time (VERDICT weak #4)
+    train_ds = PatchDataset(train_paths, cdrs_to_generate=args.cdrs,
+                            cache=True)
     val_ds = PatchDataset(val_paths, cdrs_to_generate=args.cdrs)
 
     # ---- 2. model ------------------------------------------------------

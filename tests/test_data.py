@@ -206,3 +206,32 @@ def test_canonical_pose_quotients_global_rotation(patch_dir):
     # canonical pose is right-handed and really is a rotation
     det = np.linalg.det(i2.rot)
     np.testing.assert_allclose(det, 1.0, atol=1e-5)
+
+
+def test_cached_batches_identical(patch_dir):
+    """cache=True (the VERDICT-#4 host-input fix) is a pure memoization:
+    epoch-2 batches are bit-identical to the uncached dataset's, and the
+    cache actually populates."""
+    kw = dict(cdrs_to_generate=["H3"])
+    plain = PatchDataset.from_dir(patch_dir, **kw)
+    cached = PatchDataset.from_dir(patch_dir, cache=True, **kw)
+    it_p = plain.batches(batch_size=2, seed=3, epochs=2)
+    it_c = cached.batches(batch_size=2, seed=3, epochs=2)
+    n = 0
+    for (bp, ip), (bc, ic) in zip(it_p, it_c):
+        for leaf_p, leaf_c in zip(
+            np.asarray(bp.xyz), np.asarray(bc.xyz)
+        ):
+            np.testing.assert_array_equal(leaf_p, leaf_c)
+        np.testing.assert_array_equal(
+            np.asarray(bp.generation_mask), np.asarray(bc.generation_mask)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(bp.orientations), np.asarray(bc.orientations)
+        )
+        np.testing.assert_array_equal(ip.center, ic.center)
+        np.testing.assert_array_equal(ip.rot, ic.rot)
+        n += 1
+    assert n == 4  # 2 epochs x 2 batches
+    assert len(cached._norm_cache) == 4
+    assert len(plain._norm_cache) == 0
