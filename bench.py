@@ -4,13 +4,17 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N, ...}
 
 The headline metric is end-to-end design throughput with the DEFAULT model
-(d=128, 6 IPA layers — reference train.py:62-80): context encoded once,
-then the full T=100 reverse scan with all three reverse kernels, on one
-chip, bf16 matmul compute.  vs_baseline compares against the PyTorch
-reference driven the same way (encode + 100 denoiser forwards per sample)
-on this host's CPU, measured by bench_baseline_torch.py and cached in
-baseline_torch.json (the reference publishes no numbers of its own,
-BASELINE.md).
+(d=128, 6 IPA layers — reference train.py:62-80) in the FLAGSHIP
+configuration (BASELINE config #5): 128 designs of one target via the
+shared-context fan-out — context encoded once, pair tensors read once per
+target, then the full T=100 reverse scan with all three reverse kernels,
+on one chip, bf16 matmul compute.  vs_baseline compares against the
+PyTorch reference driven the same way (encode + 100 denoiser forwards per
+sample) on this host's CPU, measured by bench_baseline_torch.py and cached
+in baseline_torch.json (the reference publishes no numbers of its own,
+BASELINE.md).  Secondary fields: the round-1-comparable batch-32
+no-fan-out number, train step rate, and the analytic FLOP- and HBM-side
+roofline attainments.
 """
 
 import dataclasses
@@ -158,16 +162,24 @@ def main():
     )
     harness = DiffAb(cfg)
 
-    BSZ, L, T = 32, 128, cfg.diffusion.T
-    batch = synthetic_batch(jax.random.key(0), BSZ, L, cfg.model.n_atoms,
-                            n_generate=8)
-    state = harness.init(jax.random.key(1), batch)
+    # Headline config = the flagship use case (BASELINE config #5, SURVEY
+    # §2.10): many designs of ONE target, via the shared-context fan-out
+    # (sample n_designs=N — pair tensor and bias logits read once per
+    # target).  N=128 is the measured throughput peak on v5e (scripts/
+    # bench_fanout.py: 278 vs 184 samples/s for the tiled replicate_batch
+    # path at the same width, and 252 at N=256).
+    N_DESIGNS, L, T = 128, 128, cfg.diffusion.T
+    one = synthetic_batch(jax.random.key(0), 1, L, cfg.model.n_atoms,
+                          n_generate=8)
+    state = harness.init(jax.random.key(1), one)
 
-    sample_fn = jax.jit(lambda p, b, k: harness.sample(p, b, k))
+    sample_fn = jax.jit(
+        lambda p, b, k: harness.sample(p, b, k, n_designs=N_DESIGNS)
+    )
 
     # compile + warmup
     t0 = time.time()
-    res = sample_fn(state.params, batch, jax.random.key(2))
+    res = sample_fn(state.params, one, jax.random.key(2))
     jax.block_until_ready(res)
     compile_s = time.time() - t0
 
@@ -178,23 +190,36 @@ def main():
     jax.block_until_ready(keys)
     t0 = time.time()
     for k in keys:
-        res = sample_fn(state.params, batch, k)
+        res = sample_fn(state.params, one, k)
     jax.block_until_ready(res)
     dt = time.time() - t0
-    samples_per_sec = BSZ * n_iters / dt
+    samples_per_sec = N_DESIGNS * n_iters / dt
+
+    # secondary: the round-1 comparable config (32 independent targets,
+    # no fan-out sharing)
+    BSZ32 = 32
+    batch32 = synthetic_batch(jax.random.key(0), BSZ32, L, cfg.model.n_atoms,
+                              n_generate=8)
+    sample32_fn = jax.jit(lambda p, b, k: harness.sample(p, b, k))
+    jax.block_until_ready(sample32_fn(state.params, batch32, jax.random.key(2)))
+    t0 = time.time()
+    for k in keys:
+        res32 = sample32_fn(state.params, batch32, k)
+    jax.block_until_ready(res32)
+    sps_batch32 = BSZ32 * n_iters / (time.time() - t0)
 
     # MFU: model FLOPs per sample batch / wall / peak bf16.  FLOPs are
     # counted analytically from the architecture (XLA's cost_analysis is
     # unavailable/untrustworthy on tunneled backends, and fused Pallas
     # kernels are opaque custom calls it cannot see inside anyway); the
     # dominant dense/attention terms of the T denoiser calls, ±10%.
-    flops = sampler_model_flops(cfg, BSZ, L, T)
+    flops = sampler_model_flops(cfg, N_DESIGNS, L, T)
     mfu = (flops * n_iters / dt) / peak_flops(jax.devices()[0]) if flops else None
 
     # Bandwidth roofline: sampling is HBM-bound (DESIGN.md §3), so report
     # achieved bytes/s against the chip's HBM peak next to the FLOP-side
     # MFU — the attainment number that actually bounds this program.
-    hbm_bytes = sampler_hbm_bytes(cfg, BSZ, L, T)
+    hbm_bytes = sampler_hbm_bytes(cfg, N_DESIGNS, L, T, n_designs=N_DESIGNS)
     hbm_bps = hbm_bytes * n_iters / dt
     bw_pct = hbm_bps / peak_hbm_bw(jax.devices()[0])
 
@@ -217,13 +242,15 @@ def main():
 
     baseline = get_baseline()
     out = {
-        "metric": "CDR-H3 codesign samples/sec/chip (K=128, T=100, default model)",
+        "metric": "CDR-H3 codesign designs/sec/chip "
+                  "(128-design fan-out, K=128, T=100, default model)",
         "value": round(samples_per_sec, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(samples_per_sec / baseline, 1),
         "baseline_torch_cpu_samples_per_sec": round(baseline, 4),
         "train_steps_per_sec_bsz16": round(train_steps_per_sec, 3),
-        "sample_batch_size": BSZ,
+        "n_designs_fanout": N_DESIGNS,
+        "samples_per_sec_batch32_no_fanout": round(sps_batch32, 3),
         "compile_seconds": round(compile_s, 1),
         "device": str(jax.devices()[0]),
         "sample_tflops_per_sec": (

@@ -154,6 +154,231 @@ def make_family_pdb(
     return format_pdb([("H", h_res), ("L", l_res), ("A", a_res)])
 
 
+# ---------------------------------------------------------------------------
+# Compositional corpus (round-1 VERDICT weak #5): the family corpus above maps
+# whole barcodes to whole motifs — a lookup table a 2.5 M-param model can
+# memorize, so held-out-instance AAR of 1.0 cannot distinguish learning from
+# memorization.  Here the mapping is COMPOSITIONAL:
+#
+#   * the barcode is a tuple of N_SLOTS independent slots, each taking one of
+#     n_values values; slot j is expressed in its OWN framework positions
+#     (3 consecutive barcode residues), identity a function of (slot value,
+#     position) only;
+#   * H3 position k's residue identity is a function of slot (k mod N_SLOTS)'s
+#     value alone — a local rule a model can learn per (position, slot value)
+#     pair and APPLY to slot-value combinations it never saw;
+#   * the H3 loop conformation is a linear mixture of per-slot displacement
+#     fields (fixed direction per slot, amplitude set by the slot's value),
+#     kept smooth along the loop so native stereochemistry survives.
+#
+# Training sees a subset of the n_values**N_SLOTS combinations (covering every
+# (slot, value) pair); evaluation on HELD-OUT combinations is then chance-level
+# for a barcode memorizer but high for a model that learned the per-slot rule.
+
+N_SLOTS = 4
+# flattened barcode framework positions, 3 per slot (within 88-94 + 103-109)
+_SLOT_POSITIONS = [
+    (88, 89, 90), (91, 92, 93), (103, 104, 105), (106, 107, 108),
+]
+
+
+def all_combos(n_values: int) -> list[tuple[int, ...]]:
+    """Every slot-value combination, lexicographic."""
+    combos = [()]
+    for _ in range(N_SLOTS):
+        combos = [c + (v,) for c in combos for v in range(n_values)]
+    return combos
+
+
+def combo_h3_motif(combo: tuple[int, ...]) -> list[str]:
+    """H3 position k (Chothia 95+k) depends ONLY on slot k mod N_SLOTS:
+    the per-position local rule that makes generalization measurable."""
+    lo, hi = H3_RANGE
+    return [
+        _aa(combo[k % N_SLOTS] * 7 + 3 * k + 1) for k in range(hi - lo + 1)
+    ]
+
+
+def _heavy_sequence_combo(resnums: list[int], combo: tuple[int, ...]) -> list[str]:
+    seq = []
+    lo, hi = H3_RANGE
+    slot_of_pos = {
+        p: (j, i)
+        for j, positions in enumerate(_SLOT_POSITIONS)
+        for i, p in enumerate(positions)
+    }
+    for r in resnums:
+        if lo <= r <= hi:
+            seq.append(combo_h3_motif(combo)[r - lo])
+        elif r in slot_of_pos:
+            j, i = slot_of_pos[r]
+            seq.append(_aa(combo[j] * 7 + 5 + 4 * i + j))  # slot-value code
+        else:
+            seq.append(_aa(3 * r))  # shared framework
+    return seq
+
+
+def _repair_peptide_bonds(residues: list[Residue]) -> None:
+    """Snap every N(i+1) onto the ideal 1.329 A peptide bond along the
+    existing C(i)->N(i+1) direction.  Displacement fields and per-atom
+    jitter stretch inter-residue bonds (the intra-residue geometry rides
+    rigidly); this repair keeps the corpus stereochemically valid under the
+    evaluation gate (backbone_validity) without shrinking the
+    conformational signal — the N moves by at most the local distortion
+    (<0.7 A), directions and CA positions are untouched."""
+    for a, b in zip(residues, residues[1:]):
+        if b.resnum - a.resnum != 1:
+            continue
+        c, n = a.atoms.get("C"), b.atoms.get("N")
+        if c is None or n is None:
+            continue
+        d = n - c
+        norm = float(np.linalg.norm(d))
+        if norm > 1e-6:
+            b.atoms["N"] = c + d * (1.329 / norm)
+
+
+def make_combo_pdb(
+    combo: tuple[int, ...],
+    seed: int,
+    heavy_len: int = 118,
+    light_len: int = 107,
+    antigen_len: int = 60,
+    bump_base: float = 1.0,
+    bump_step: float = 0.6,
+    jitter: float = 0.1,
+) -> str:
+    """One synthetic complex for the given slot-value combination."""
+    rng = np.random.default_rng(
+        (hash(combo) & 0x7FFFFFFF) * 2_000_003 + seed
+    )
+
+    h_res, h_ca = _chain_residues(
+        list(range(1, heavy_len + 1)),
+        origin=np.zeros(3), direction=np.array([1.0, 0.2, 0.0]),
+        perp=np.array([0.0, 0.0, 1.0]), rng=rng,
+        sequence=_heavy_sequence_combo(list(range(1, heavy_len + 1)), combo),
+    )
+    l_res, _ = _chain_residues(
+        list(range(1, light_len + 1)),
+        origin=np.array([0.0, 14.0, 4.0]), direction=np.array([1.0, -0.2, 0.1]),
+        perp=np.array([0.0, 0.0, 1.0]), rng=rng,
+        sequence=_light_sequence(list(range(1, light_len + 1))),
+    )
+    h3_center = h_ca[94:102].mean(axis=0)
+    a_res, _ = _chain_residues(
+        list(range(1, antigen_len + 1)),
+        origin=h3_center + np.array([0.0, -8.0, 6.0]),
+        direction=np.array([-1.0, 0.3, 0.2]),
+        perp=np.array([0.2, 0.0, 1.0]), rng=rng,
+        sequence=_antigen_sequence(list(range(1, antigen_len + 1))),
+    )
+
+    # compositional conformation: a smooth sine-profile displacement whose
+    # direction/amplitude is the MEAN of per-slot contributions (direction
+    # fixed per slot, amplitude affine in the slot's value) — linear in the
+    # slots, so an unseen combination's loop is the predictable mixture of
+    # contributions seen during training
+    lo, hi = H3_RANGE
+    mix = np.zeros(3)
+    for j, v in enumerate(combo):
+        # directions form a 150-degree fan in the y-z plane (NOT a full
+        # circle: with opposed directions, equal slot values would cancel
+        # to a zero displacement and distinct combos would collapse onto
+        # one conformation)
+        phi = (j / max(N_SLOTS - 1, 1) - 0.5) * (5.0 * np.pi / 6.0)
+        u = np.array([0.0, np.cos(phi), np.sin(phi)])
+        mix = mix + (bump_base + bump_step * v) * u
+    mix = mix / N_SLOTS
+    for res in h_res:
+        if lo <= res.resnum <= hi:
+            w = np.sin(np.pi * (res.resnum - lo + 0.5) / (hi - lo + 1))
+            shift = w * mix
+            for name in res.atoms:
+                res.atoms[name] = res.atoms[name] + shift
+
+    rot = _random_rotation(rng)
+    for residues in (h_res, l_res, a_res):
+        _transform(residues, rot, jitter, rng)
+        _repair_peptide_bonds(residues)
+
+    return format_pdb([("H", h_res), ("L", l_res), ("A", a_res)])
+
+
+def split_combos(
+    n_values: int, n_train: int, n_heldout: int, seed: int = 0
+) -> tuple[list[tuple[int, ...]], list[tuple[int, ...]]]:
+    """Random train/held-out combination split with full (slot, value)
+    coverage in train (otherwise held-out combos would be unanswerable by
+    construction, not by failure to generalize)."""
+    combos = all_combos(n_values)
+    rng = np.random.default_rng(seed)
+    for _ in range(1000):
+        order = rng.permutation(len(combos))
+        train = [combos[i] for i in order[:n_train]]
+        heldout = [combos[i] for i in order[n_train:n_train + n_heldout]]
+        seen = {(j, v) for c in train for j, v in enumerate(c)}
+        if len(seen) == N_SLOTS * n_values:
+            return train, heldout
+    raise RuntimeError(
+        f"could not cover all {N_SLOTS}x{n_values} (slot, value) pairs "
+        f"with {n_train} train combos"
+    )
+
+
+def write_combo_corpus(
+    out_dir: str,
+    n_values: int = 4,
+    n_train_combos: int = 40,
+    n_heldout_combos: int = 12,
+    n_per_combo: int = 12,
+    n_val_instances: int = 2,
+    seed: int = 0,
+    **pdb_kwargs,
+) -> dict:
+    """Write the compositional corpus + split manifest.
+
+    {out_dir}/pdb/c{idx}_s{i}.pdb for train combos (i < n_per_combo; the
+    last n_val_instances of each are the held-out-INSTANCE split) and
+    h{idx}_s{i}.pdb for held-out combos (i < n_val_instances — the
+    held-out-COMBINATION split, never trained on).  Returns the manifest
+    (also saved as {out_dir}/combos.json)."""
+    import json
+
+    pdb_dir = os.path.join(out_dir, "pdb")
+    os.makedirs(pdb_dir, exist_ok=True)
+    train, heldout = split_combos(
+        n_values, n_train_combos, n_heldout_combos, seed=seed
+    )
+    rows = ["pdb_id,Hchain,Lchain,antigen_chain"]
+    for idx, combo in enumerate(train):
+        for i in range(n_per_combo):
+            pdb_id = f"c{idx}_s{i}"
+            with open(os.path.join(pdb_dir, f"{pdb_id}.pdb"), "w") as fh:
+                fh.write(make_combo_pdb(combo, seed * 1_000 + i, **pdb_kwargs))
+            rows.append(f"{pdb_id},H,L,A")
+    for idx, combo in enumerate(heldout):
+        for i in range(n_val_instances):
+            pdb_id = f"h{idx}_s{i}"
+            with open(os.path.join(pdb_dir, f"{pdb_id}.pdb"), "w") as fh:
+                fh.write(make_combo_pdb(combo, seed * 1_000 + 500 + i,
+                                        **pdb_kwargs))
+            rows.append(f"{pdb_id},H,L,A")
+    with open(os.path.join(out_dir, "meta.csv"), "w") as fh:
+        fh.write("\n".join(rows) + "\n")
+    manifest = {
+        "n_values": n_values,
+        "n_slots": N_SLOTS,
+        "train_combos": [list(c) for c in train],
+        "heldout_combos": [list(c) for c in heldout],
+        "n_per_combo": n_per_combo,
+        "n_val_instances": n_val_instances,
+    }
+    with open(os.path.join(out_dir, "combos.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
 def write_family_corpus(
     out_dir: str,
     n_families: int = 8,

@@ -5,22 +5,31 @@ end through the public package surface, on whatever backend is default
 (the real TPU chip in this environment; --smoke forces CPU + tiny preset
 for a fast self-check).
 
-The corpus is the LEARNABLE synthetic family corpus (data/synthetic.py):
-F families, each pairing a framework barcode (visible context) with a fixed
-CDR-H3 sequence motif and a family-specific loop conformation.  No real
-SAbDab snapshot exists in this zero-egress environment; the reference
-itself ships no data and no trained numbers (README "Reproduction status:
-WIP").  The corpus makes training measurable: amino-acid recovery on
-held-out complexes is chance (~1/20) for an untrained model and approaches
-1.0 iff the model actually learned the barcode->motif/conformation joint.
+The corpus is the COMPOSITIONAL synthetic corpus (data/synthetic.py,
+round-1 VERDICT weak #5): the framework barcode is a tuple of independent
+slots, H3 position k's identity is a function of slot (k mod m) alone, and
+the loop conformation is a linear mixture of per-slot displacement fields.
+Training sees a SUBSET of slot-value combinations; evaluation reports two
+splits:
 
-Usage (full run, ~15 min wall on one v5e through the remote tunnel):
-  python scripts/quality_run.py --workdir runs/quality
+  val_instance  unseen jitter/pose instances of TRAINED combinations —
+                the round-1 protocol (a memorizer can ace this);
+  val_combo     instances of combinations NEVER seen in training — chance
+                level for a whole-barcode memorizer, high iff the model
+                learned the per-slot rule and composes it.
+
+No real SAbDab snapshot exists in this zero-egress environment; the
+reference itself ships no data and no trained numbers (README
+"Reproduction status: WIP").
+
+Usage (full run, ~20 min wall on one v5e through the remote tunnel):
+  python scripts/quality_run.py --workdir runs/quality_combo
   python scripts/quality_run.py --smoke        # CPU, tiny, ~3 min
 
 Outputs {workdir}/quality.json with untrained-vs-trained metrics for both
-sampling modes (codesign from the prior; t-restart optimization).
-"""
+splits and all sampling modes (codesign from the prior, deterministic
+codesign, t-restart optimization), including the stereochemical validity
+rates (evaluation.backbone_validity)."""
 
 from __future__ import annotations
 
@@ -39,9 +48,14 @@ sys.path.insert(0, REPO)
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", default="runs/quality")
-    p.add_argument("--families", type=int, default=8)
-    p.add_argument("--per-family", type=int, default=48)
-    p.add_argument("--val-per-family", type=int, default=4)
+    p.add_argument("--n-values", type=int, default=4,
+                   help="values per barcode slot (combinations = v^4)")
+    p.add_argument("--train-combos", type=int, default=40)
+    p.add_argument("--heldout-combos", type=int, default=12)
+    p.add_argument("--per-combo", type=int, default=12,
+                   help="instances per train combo (last one is val_instance)")
+    p.add_argument("--val-instances", type=int, default=2,
+                   help="instances per held-out combo")
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("-b", "--bsz", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -51,7 +65,7 @@ def parse_args(argv=None):
     p.add_argument("--cdrs", nargs="+", default=["H3"],
                    help="CDRs to design jointly (subset of H1 H2 H3 L1 L2 L3)")
     p.add_argument("--smoke", action="store_true",
-                   help="CPU backend, tiny preset, 2 families, 60 steps")
+                   help="CPU backend, tiny preset, few combos, 60 steps")
     return p.parse_args(argv)
 
 
@@ -61,7 +75,8 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        args.families, args.per_family, args.val_per_family = 2, 6, 2
+        args.n_values, args.train_combos, args.heldout_combos = 2, 8, 3
+        args.per_combo, args.val_instances = 3, 1
         args.steps, args.bsz, args.designs_per_target = 60, 8, 4
         args.t_restart = 10
 
@@ -77,7 +92,7 @@ def main(argv=None) -> int:
         COORD_SCALE, PatchDataset, assemble_batch,
     )
     from diffab_pytorch_tpu.data.loader import PrefetchLoader
-    from diffab_pytorch_tpu.data.synthetic import write_family_corpus
+    from diffab_pytorch_tpu.data.synthetic import write_combo_corpus
     from diffab_pytorch_tpu.evaluation import (
         evaluate_designs, sequence_diversity,
     )
@@ -90,44 +105,58 @@ def main(argv=None) -> int:
 
     # ---- 1. corpus + preprocess (host, numpy) ------------------------
     npz_dir = os.path.join(args.workdir, "npz")
-    want = args.families * args.per_family
+    want = (args.train_combos * args.per_combo
+            + args.heldout_combos * args.val_instances)
     if len(glob.glob(os.path.join(npz_dir, "*.npz"))) != want:
-        log(f"generating corpus: {args.families} families x {args.per_family}")
-        write_family_corpus(
-            args.workdir, n_families=args.families,
-            n_per_family=args.per_family, seed=args.seed,
+        log(f"generating compositional corpus: {args.train_combos} train + "
+            f"{args.heldout_combos} held-out combos (v={args.n_values})")
+        write_combo_corpus(
+            args.workdir, n_values=args.n_values,
+            n_train_combos=args.train_combos,
+            n_heldout_combos=args.heldout_combos,
+            n_per_combo=args.per_combo,
+            n_val_instances=args.val_instances, seed=args.seed,
         )
         os.makedirs(npz_dir, exist_ok=True)
-        for f in range(args.families):
-            for i in range(args.per_family):
-                pdb_id = f"fam{f}_s{i}"
-                process_one(
-                    os.path.join(args.workdir, "pdb", f"{pdb_id}.pdb"),
-                    os.path.join(npz_dir, f"{pdb_id}.npz"),
-                    "H", "L", "A", 128,
-                )
+        for pdb_path in sorted(glob.glob(os.path.join(args.workdir, "pdb",
+                                                      "*.pdb"))):
+            pdb_id = os.path.splitext(os.path.basename(pdb_path))[0]
+            process_one(
+                pdb_path, os.path.join(npz_dir, f"{pdb_id}.npz"),
+                "H", "L", "A", 128,
+            )
         log(f"preprocessed {want} complexes")
     else:
         log(f"reusing {want} preprocessed complexes in {npz_dir}")
 
-    # held-out: the last val_per_family jitter instances of EVERY family
-    val_ids = {
-        f"fam{f}_s{i}"
-        for f in range(args.families)
-        for i in range(args.per_family - args.val_per_family, args.per_family)
-    }
+    # splits: c{i}_s{last} = held-out INSTANCES of trained combos;
+    # h{i}_s* = held-out COMBINATIONS (never trained)
     all_paths = sorted(glob.glob(os.path.join(npz_dir, "*.npz")))
     stem = lambda p: os.path.splitext(os.path.basename(p))[0]
-    train_paths = [p for p in all_paths if stem(p) not in val_ids]
-    val_paths = [p for p in all_paths if stem(p) in val_ids]
-    log(f"split: {len(train_paths)} train / {len(val_paths)} val patches")
+    val_instance_ids = {
+        f"c{i}_s{args.per_combo - 1}" for i in range(args.train_combos)
+    }
+    train_paths = [
+        p for p in all_paths
+        if stem(p).startswith("c") and stem(p) not in val_instance_ids
+    ]
+    val_splits = {
+        "val_instance": [p for p in all_paths if stem(p) in val_instance_ids],
+        "val_combo": [p for p in all_paths if stem(p).startswith("h")],
+    }
+    log(f"split: {len(train_paths)} train / "
+        f"{len(val_splits['val_instance'])} val_instance / "
+        f"{len(val_splits['val_combo'])} val_combo patches")
 
     # cache=True: normalized samples stay in RAM after epoch 1, so the
     # host path is pure stacking — without it the single-core input
     # pipeline left the device idle ~2/3 of the time (VERDICT weak #4)
     train_ds = PatchDataset(train_paths, cdrs_to_generate=args.cdrs,
                             cache=True)
-    val_ds = PatchDataset(val_paths, cdrs_to_generate=args.cdrs)
+    val_ds = {
+        split: PatchDataset(paths, cdrs_to_generate=args.cdrs)
+        for split, paths in val_splits.items()
+    }
 
     # ---- 2. model ------------------------------------------------------
     cfg = tiny_config() if args.smoke else default_config()
@@ -162,18 +191,22 @@ def main(argv=None) -> int:
     n_designs = args.designs_per_target
 
     def make_eval_fn(t_start, noise_scale=1.0):
-        def _eval(params, batch, cdr_idx, key):
-            res = harness.sample(params, batch, key, t_start=t_start,
-                                 noise_scale=noise_scale)
+        def _eval(params, one, rep, cdr_idx, key):
+            # shared-context fan-out: n designs of the one target, pair
+            # tensors read once (round-2 flagship path); metrics compare
+            # against the n-row replicated native batch
+            res = harness.sample(params, one, key, t_start=t_start,
+                                 noise_scale=noise_scale,
+                                 n_designs=n_designs)
             m = evaluate_designs(
-                res, batch, coord_scale=COORD_SCALE,
+                res, rep, coord_scale=COORD_SCALE,
                 cdr_idx=cdr_idx, cdrs=tuple(args.cdrs), align=False,
             )
             m["ca_rmsd_aligned"] = evaluate_designs(
-                res, batch, coord_scale=COORD_SCALE, align=True
+                res, rep, coord_scale=COORD_SCALE, align=True
             )["ca_rmsd"]
             m["diversity"] = sequence_diversity(
-                res.seq_idx, batch.generation_mask[0]
+                res.seq_idx, rep.generation_mask[0]
             )
             return m
 
@@ -189,32 +222,38 @@ def main(argv=None) -> int:
     }
 
     def eval_params(params, label):
-        """Sample n_designs per held-out target, both modes, all metrics."""
-        rows = {m: [] for m in eval_fns}
-        for vi in range(len(val_ds)):
-            raw = val_ds[vi]
-            batch, _ = assemble_batch([raw] * n_designs, args.cdrs)
-            cdr_idx = jnp.asarray(np.stack([raw["cdr_idx"]] * n_designs))
-            key = jax.random.fold_in(jax.random.key(args.seed + 7), vi)
-            for mode, fn in eval_fns.items():
-                m = jax.device_get(fn(params, batch, cdr_idx, key))
-                rows[mode].append(m)
+        """Sample n_designs per target, both val splits, all modes."""
         out = {}
-        for mode in rows:
-            agg = {}
-            for k in rows[mode][0]:
-                vals = np.concatenate(
-                    [np.atleast_1d(r[k]) for r in rows[mode]]
+        for split, ds in val_ds.items():
+            rows = {m: [] for m in eval_fns}
+            for vi in range(len(ds)):
+                raw = ds[vi]
+                one, _ = assemble_batch([raw], args.cdrs)
+                rep, _ = assemble_batch([raw] * n_designs, args.cdrs)
+                cdr_idx = jnp.asarray(np.stack([raw["cdr_idx"]] * n_designs))
+                key = jax.random.fold_in(
+                    jax.random.key(args.seed + 7), vi
                 )
-                agg[k] = float(np.mean(vals))
-                agg[k + "_std"] = float(np.std(vals))
-            out[mode] = agg
-            log(f"{label}/{mode}: aar={agg['aar']:.3f} "
-                f"rmsd={agg['ca_rmsd']:.2f}A "
-                f"div={agg['diversity']:.3f}")
+                for mode, fn in eval_fns.items():
+                    m = jax.device_get(fn(params, one, rep, cdr_idx, key))
+                    rows[mode].append(m)
+            out[split] = {}
+            for mode in rows:
+                agg = {}
+                for k in rows[mode][0]:
+                    vals = np.concatenate(
+                        [np.atleast_1d(r[k]) for r in rows[mode]]
+                    )
+                    agg[k] = float(np.mean(vals))
+                    agg[k + "_std"] = float(np.std(vals))
+                out[split][mode] = agg
+                log(f"{label}/{split}/{mode}: aar={agg['aar']:.3f} "
+                    f"rmsd={agg['ca_rmsd']:.2f}A "
+                    f"valid={agg['valid']:.2f} "
+                    f"div={agg['diversity']:.3f}")
         return out
 
-    log("evaluating UNTRAINED model on held-out targets")
+    log("evaluating UNTRAINED model on both val splits")
     results = {"untrained": eval_params(untrained_params, "untrained")}
 
     # ---- 4. train --------------------------------------------------------
@@ -256,13 +295,16 @@ def main(argv=None) -> int:
     save_checkpoint(ckpt_dir, state)
     log(f"checkpoint saved to {ckpt_dir} @ step {int(state.step)}")
 
-    log("evaluating TRAINED model on held-out targets")
+    log("evaluating TRAINED model on both val splits")
     results["trained"] = eval_params(state.params, "trained")
 
     results["meta"] = {
-        "families": args.families,
+        "corpus": "compositional",
+        "n_values": args.n_values,
+        "train_combos": args.train_combos,
+        "heldout_combos": args.heldout_combos,
         "train_patches": len(train_paths),
-        "val_patches": len(val_paths),
+        "val_patches": {k: len(v) for k, v in val_splits.items()},
         "designs_per_target": n_designs,
         "cdrs": args.cdrs,
         "steps": args.steps,

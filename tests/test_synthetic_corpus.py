@@ -127,3 +127,110 @@ def test_pallas_auto_gate_resolves_by_backend():
     out_auto = layer_auto.apply(params, x, pair, rot, trans)
     out_off = layer_off.apply(params, x, pair, rot, trans)
     np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_off))
+
+
+# ---------------------------------------------------------------------------
+# Compositional corpus (VERDICT weak #5): the properties that make held-out-
+# combination evaluation a real generalization probe.
+
+
+def test_combo_motif_is_per_slot_local():
+    """H3 position k depends ONLY on slot k mod N_SLOTS: combos agreeing on
+    slot j agree exactly on positions k = j mod m and (for differing other
+    slots) differ elsewhere."""
+    from diffab_pytorch_tpu.data.synthetic import (
+        N_SLOTS, combo_h3_motif,
+    )
+
+    a = combo_h3_motif((0, 1, 2, 3))
+    b = combo_h3_motif((0, 3, 2, 1))  # shares slots 0 and 2
+    for k in range(len(a)):
+        j = k % N_SLOTS
+        if j in (0, 2):
+            assert a[k] == b[k], k
+        else:
+            assert a[k] != b[k], k
+
+
+def test_split_combos_coverage_and_disjointness():
+    from diffab_pytorch_tpu.data.synthetic import N_SLOTS, split_combos
+
+    train, heldout = split_combos(4, 40, 12, seed=0)
+    assert len(train) == 40 and len(heldout) == 12
+    assert not set(train) & set(heldout)
+    seen = {(j, v) for c in train for j, v in enumerate(c)}
+    assert len(seen) == N_SLOTS * 4  # every (slot, value) answerable
+
+
+def test_combo_barcode_expresses_each_slot(tmp_path):
+    """Changing one slot changes ONLY that slot's framework positions (and
+    the H3 positions it governs): the information channel is per-slot."""
+    from diffab_pytorch_tpu.data.synthetic import (
+        _SLOT_POSITIONS, make_combo_pdb,
+    )
+
+    def parse(combo, name):
+        p = tmp_path / f"{name}.pdb"
+        p.write_text(make_combo_pdb(combo, seed=0))
+        return antibody.from_pdb(
+            str(p), heavy_chain_id="H", light_chain_id="L",
+            antigen_chain_ids=["A"],
+        )
+
+    c_a = parse((1, 2, 0, 3), "a")
+    c_b = parse((1, 2, 3, 3), "b")  # slot 2 differs
+
+    def heavy_seq_at(c, positions):
+        out = {}
+        for s, r, ch in zip(c.seq_idx, c.residue_number, c.chain_idx):
+            if ch == 1 and r in positions:
+                out.setdefault(r, int(s))
+        return out
+
+    all_barcode = [p for ps in _SLOT_POSITIONS for p in ps]
+    sa, sb = heavy_seq_at(c_a, all_barcode), heavy_seq_at(c_b, all_barcode)
+    for j, positions in enumerate(_SLOT_POSITIONS):
+        for p in positions:
+            if j == 2:
+                assert sa[p] != sb[p], (j, p)
+            else:
+                assert sa[p] == sb[p], (j, p)
+
+
+def test_combo_pdb_is_stereochemically_valid(tmp_path):
+    """The compositional loop bump must not break the backbone the validity
+    gate scores — otherwise trained RMSD numbers would be on broken data."""
+    from diffab_pytorch_tpu.constants import ATOM
+    from diffab_pytorch_tpu.data.synthetic import make_combo_pdb
+    from diffab_pytorch_tpu.evaluation import backbone_validity
+
+    p = tmp_path / "v.pdb"
+    p.write_text(make_combo_pdb((3, 3, 3, 3), seed=0))  # max amplitude
+    c = antibody.from_pdb(
+        str(p), heavy_chain_id="H", light_chain_id="L",
+        antigen_chain_ids=["A"],
+    )
+    gen = c.get_cdr_mask(["H3"])
+    val = backbone_validity(
+        c.xyz[None, :, ATOM.N, :], c.xyz[None, :, ATOM.CA, :],
+        c.xyz[None, :, ATOM.C, :],
+        c.atom_mask[None, :, :3].all(-1), c.chain_idx[None],
+        c.residue_idx[None], gen[None],
+    )
+    assert int(val["bond_viol"][0]) == 0
+    assert int(val["ca_break"][0]) == 0
+
+
+def test_combo_corpus_manifest(tmp_path):
+    from diffab_pytorch_tpu.data.synthetic import write_combo_corpus
+
+    man = write_combo_corpus(
+        str(tmp_path), n_values=3, n_train_combos=12, n_heldout_combos=4,
+        n_per_combo=2, n_val_instances=1,
+    )
+    pdbs = os.listdir(tmp_path / "pdb")
+    assert len(pdbs) == 12 * 2 + 4 * 1
+    assert os.path.exists(tmp_path / "combos.json")
+    assert len(man["train_combos"]) == 12
+    held = {tuple(c) for c in man["heldout_combos"]}
+    assert not held & {tuple(c) for c in man["train_combos"]}
