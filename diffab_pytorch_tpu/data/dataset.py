@@ -257,6 +257,46 @@ class PatchDataset:
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         return load_patch(self.paths[i])
 
+    def device_pool(self, normalize: bool = True):
+        """The whole dataset as ONE ProteinBatch (row i = sample i) plus
+        its NormalizationInfo — the input for
+        `DiffAb.make_pool_train_step`, which gathers per-step batches on
+        device so tunnel-bound hosts transfer 4*b index bytes per step
+        instead of the features.  Samples whose generation mask would be
+        empty are dropped (mirroring `batches`)."""
+        samples = []
+        for i in range(len(self.paths)):
+            s = (normalize_sample(self[i], self.cdrs_to_generate)
+                 if normalize else self[i])
+            if self.require_generated:
+                if normalize:
+                    gm = s["generation_mask"]
+                else:
+                    gm = generation_mask_from_cdr(
+                        s["cdr_idx"], self.cdrs_to_generate
+                    ) & s["residue_mask"].astype(bool)
+                if not gm.any():
+                    continue
+            samples.append(s)
+        return assemble_batch(samples, self.cdrs_to_generate, normalize)
+
+    def epoch_indices(
+        self, batch_size: int, *, n_rows: int, shuffle: bool = True,
+        seed: int = 0, drop_last: bool = True,
+    ) -> Iterator[np.ndarray]:
+        """Endless per-epoch index batches over a device pool's rows —
+        the host side of the pool training loop."""
+        rng = np.random.default_rng(seed)
+        while True:
+            order = np.arange(n_rows)
+            if shuffle:
+                rng.shuffle(order)
+            for i in range(0, n_rows - batch_size + 1, batch_size):
+                yield order[i:i + batch_size].astype(np.int32)
+            rem = n_rows % batch_size
+            if rem and not drop_last:
+                yield order[n_rows - rem:].astype(np.int32)
+
     def batches(
         self,
         batch_size: int,

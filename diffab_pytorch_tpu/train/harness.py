@@ -247,6 +247,27 @@ class DiffAb:
             self.train_step_impl, donate_argnums=(0,) if donate else ()
         )
 
+    def make_pool_train_step(self, donate: bool = True):
+        """Jitted train step over a DEVICE-RESIDENT sample pool:
+        (state, pool, idx, key) -> (state, metrics), where pool is a
+        ProteinBatch holding the whole dataset (PatchDataset.device_pool)
+        and idx is the (b,) int32 row selection for this step.
+
+        The batch is gathered on device, so the per-step host->device
+        transfer is 4*b bytes of indices instead of megabytes of features.
+        On tunneled/remote backends the feature transfer is the binding
+        cost once the host pipeline is cached: measured 384 -> ~790
+        samples/s at batch 32 on v5e-over-tunnel (DESIGN.md §3), the
+        device-resident ceiling.  Prefer this whenever the dataset fits
+        HBM (~165 KB/sample at K=128: 8,400 SAbDab patches ~ 1.4 GB)."""
+
+        def step(state: TrainState, pool: ProteinBatch, idx: jax.Array,
+                 key: jax.Array):
+            batch = jax.tree.map(lambda x: x[idx], pool)
+            return self.train_step_impl(state, batch, key)
+
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
     def make_eval_step(self):
         """Jitted validation step: (params, batch, key) -> metrics."""
 

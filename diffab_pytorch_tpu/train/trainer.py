@@ -35,11 +35,19 @@ def fit(
     resume: bool = True,
     sharding: Optional[jax.sharding.Sharding] = None,
     train_step=None,
+    device_pool: bool = False,
 ) -> TrainState:
     """Run training; returns the final TrainState.
 
     `train_step` may be injected (e.g. the shard_map data-parallel step from
     `parallel/`); defaults to the single-device jitted step.
+
+    `device_pool=True` uploads the whole (normalized) dataset to the device
+    once and gathers per-step batches on device (`make_pool_train_step`) —
+    the per-step host->device transfer drops from megabytes of features to
+    4*batch bytes of indices.  On tunneled backends that transfer is the
+    binding cost once the host cache is warm (measured 384 -> ~790
+    samples/s at batch 32, DESIGN.md §3).  Single-device step only.
     """
     cfg = harness.config.train
     seed = cfg.seed if seed is None else seed
@@ -47,19 +55,39 @@ def fit(
     logger = logger or MetricLogger(print_every=cfg.log_every)
 
     key = jax.random.key(seed)
-    batches = train_ds.batches(
-        batch_size=cfg.batch_size, shuffle=True, seed=seed, epochs=epochs
-    )
-    loader = PrefetchLoader(batches, sharding=sharding)
-
-    first_batch, _ = next(iter(loader))
+    loader = None
+    if device_pool:
+        if train_step is not None or sharding is not None:
+            raise ValueError(
+                "device_pool uses the single-device pool step; it cannot "
+                "be combined with an injected train_step or sharding"
+            )
+        pool, _ = train_ds.device_pool()
+        n_rows = pool.batch_size
+        if n_rows < cfg.batch_size:
+            raise ValueError(
+                f"dataset ({n_rows} usable samples) smaller than "
+                f"batch_size={cfg.batch_size}"
+            )
+        pool = jax.device_put(pool)
+        first_batch = jax.tree.map(lambda x: x[: cfg.batch_size], pool)
+    else:
+        batches = train_ds.batches(
+            batch_size=cfg.batch_size, shuffle=True, seed=seed, epochs=epochs
+        )
+        loader = PrefetchLoader(batches, sharding=sharding)
+        first_batch, _ = next(iter(loader))
     k_init, key = jax.random.split(key)
     state = harness.init(k_init, first_batch)
     if checkpoint_dir and resume and ckpt_lib.latest_step(checkpoint_dir) is not None:
         state = ckpt_lib.restore_checkpoint(checkpoint_dir, state)
         print(f"[trainer] resumed from step {int(state.step)}")
 
-    step_fn = train_step or harness.make_train_step()
+    if device_pool:
+        pool_step = harness.make_pool_train_step()
+        step_fn = lambda state, idx, key: pool_step(state, pool, idx, key)
+    else:
+        step_fn = train_step or harness.make_train_step()
     eval_fn = harness.make_eval_step()
 
     steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
@@ -98,11 +126,22 @@ def fit(
             run_eval(state.params, key)
         return key
 
-    key = handle(first_batch, key)
-    for batch, _ in loader:
-        if max_steps is not None and int(state.step) >= max_steps:
-            break
-        key = handle(batch, key)
+    if device_pool:
+        total = ((epochs or 10**9) * max(1, n_rows // cfg.batch_size)
+                 - int(state.step))
+        idx_iter = train_ds.epoch_indices(
+            cfg.batch_size, n_rows=n_rows, shuffle=True, seed=seed
+        )
+        for _ in range(max(total, 0)):
+            if max_steps is not None and int(state.step) >= max_steps:
+                break
+            key = handle(next(idx_iter), key)
+    else:
+        key = handle(first_batch, key)
+        for batch, _ in loader:
+            if max_steps is not None and int(state.step) >= max_steps:
+                break
+            key = handle(batch, key)
 
     if checkpoint_dir:
         ckpt_lib.save_checkpoint(checkpoint_dir, state)

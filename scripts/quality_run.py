@@ -91,10 +91,9 @@ def main(argv=None) -> int:
     from diffab_pytorch_tpu.data.dataset import (
         COORD_SCALE, PatchDataset, assemble_batch,
     )
-    from diffab_pytorch_tpu.data.loader import PrefetchLoader
     from diffab_pytorch_tpu.data.synthetic import write_combo_corpus
     from diffab_pytorch_tpu.evaluation import (
-        evaluate_designs, sequence_diversity,
+        evaluate_designs, sequence_diversity, validity_from_result,
     )
     from diffab_pytorch_tpu.train import DiffAb
     from diffab_pytorch_tpu.train.checkpoint import save_checkpoint
@@ -208,6 +207,14 @@ def main(argv=None) -> int:
             m["diversity"] = sequence_diversity(
                 res.seq_idx, rep.generation_mask[0]
             )
+            # validity of the geometry cli.sample actually ships (after
+            # the designed-edge bond idealization), next to the raw-frames
+            # validity evaluate_designs reports
+            vi = validity_from_result(
+                res, rep, coord_scale=COORD_SCALE, idealize=True
+            )
+            m["valid_idealized"] = vi["valid"]
+            m["ca_break_idealized"] = vi["ca_break"]
             return m
 
         return jax.jit(_eval)
@@ -249,7 +256,8 @@ def main(argv=None) -> int:
                 out[split][mode] = agg
                 log(f"{label}/{split}/{mode}: aar={agg['aar']:.3f} "
                     f"rmsd={agg['ca_rmsd']:.2f}A "
-                    f"valid={agg['valid']:.2f} "
+                    f"valid={agg['valid']:.2f}"
+                    f"/{agg['valid_idealized']:.2f}(ideal) "
                     f"div={agg['diversity']:.3f}")
         return out
 
@@ -258,19 +266,27 @@ def main(argv=None) -> int:
 
     # ---- 4. train --------------------------------------------------------
     log(f"training: {args.steps} steps @ batch {args.bsz}")
+    # Device-resident pool: the whole normalized corpus uploads once and
+    # per-step batches are on-device gathers — on the tunneled backend the
+    # per-step feature transfer was the binding cost (384 samples/s with
+    # the prefetch loader vs ~790 device-resident, DESIGN.md §3).
+    pool, _ = train_ds.device_pool()
+    n_rows = pool.batch_size
+    pool = jax.device_put(pool)
+    log(f"device pool: {n_rows} samples resident")
     # donate=False so finite-state snapshots below stay valid buffers
-    step_fn = harness.make_train_step(donate=False)
+    step_fn = harness.make_pool_train_step(donate=False)
     base_key = jax.random.key(args.seed + 1)
-    loader = PrefetchLoader(
-        train_ds.batches(args.bsz, shuffle=True, seed=args.seed)
+    idx_iter = train_ds.epoch_indices(
+        args.bsz, n_rows=n_rows, shuffle=True, seed=args.seed
     )
     losses = []
     state_good, step_good = state, 0
     t_train0 = time.time()
-    for i, (batch, _) in enumerate(loader):
+    for i, idx in enumerate(idx_iter):
         if i >= args.steps:
             break
-        state, metrics = step_fn(state, batch, base_key)
+        state, metrics = step_fn(state, pool, idx, base_key)
         if i % max(1, args.steps // 20) == 0 or i == args.steps - 1:
             terms = {
                 k.removeprefix("train/"): round(float(v), 4)
@@ -280,7 +296,6 @@ def main(argv=None) -> int:
             log(f"step {i}: " + " ".join(f"{k}={v}" for k, v in terms.items()))
             if np.isfinite(terms["loss"]):
                 state_good, step_good = state, i
-    loader.close()
     final_loss = losses[-1]["loss"] if losses else float("nan")
     if not np.isfinite(final_loss):
         log(f"final loss non-finite; falling back to the last finite "

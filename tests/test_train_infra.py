@@ -137,3 +137,92 @@ def test_fit_loop_smoke(tmp_path):
         resume=True,
     )
     assert int(state2.step) >= 8
+
+
+def test_pool_step_matches_plain_step(tmp_path):
+    """The device-pool gather step is numerically the plain step on the
+    gathered batch: same rows + same key => identical params."""
+    import dataclasses
+
+    from diffab_pytorch_tpu.config import TrainConfig
+    from diffab_pytorch_tpu.data.dataset import PatchDataset
+    from diffab_pytorch_tpu.structure import (
+        antibody, featurize_patch, parse_pdb, save_patch,
+    )
+    from diffab_pytorch_tpu.structure.testing import make_synthetic_antibody_pdb
+
+    pdir = tmp_path / "patches"
+    pdir.mkdir()
+    for i in range(4):
+        c = antibody.from_chains(
+            parse_pdb(make_synthetic_antibody_pdb(seed=i)), "H", "L", ["A"],
+            keep_fv_only=True,
+        )
+        save_patch(str(pdir / f"s{i}.npz"), featurize_patch(c, patch_size=48))
+
+    cfg = dataclasses.replace(tiny_config(), train=TrainConfig(batch_size=2))
+    harness = DiffAb(cfg)
+    ds = PatchDataset.from_dir(str(pdir))
+    pool, _ = ds.device_pool()
+    assert pool.batch_size == 4
+
+    idx = jnp.asarray([2, 1], jnp.int32)
+    gathered = jax.tree.map(lambda x: x[np.asarray(idx)], pool)
+    state = harness.init(jax.random.key(0), gathered)
+
+    plain_step = harness.make_train_step(donate=False)
+    pool_step = harness.make_pool_train_step(donate=False)
+    key = jax.random.key(3)
+    s_plain, m_plain = plain_step(state, gathered, key)
+    s_pool, m_pool = pool_step(state, pool, idx, key)
+    np.testing.assert_array_equal(
+        np.asarray(m_plain["train/loss"]), np.asarray(m_pool["train/loss"])
+    )
+    for a, b in zip(jax.tree.leaves(s_plain.params),
+                    jax.tree.leaves(s_pool.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_device_pool(tmp_path):
+    """fit(device_pool=True) trains, checkpoints, and refuses to combine
+    with an injected step."""
+    import dataclasses
+
+    from diffab_pytorch_tpu.config import TrainConfig
+    from diffab_pytorch_tpu.data.dataset import PatchDataset
+    from diffab_pytorch_tpu.structure import (
+        antibody, featurize_patch, parse_pdb, save_patch,
+    )
+    from diffab_pytorch_tpu.structure.testing import make_synthetic_antibody_pdb
+    from diffab_pytorch_tpu.train.trainer import fit
+    from diffab_pytorch_tpu.utils.logging import MetricLogger
+
+    pdir = tmp_path / "patches"
+    pdir.mkdir()
+    for i in range(4):
+        c = antibody.from_chains(
+            parse_pdb(make_synthetic_antibody_pdb(seed=i)), "H", "L", ["A"],
+            keep_fv_only=True,
+        )
+        save_patch(str(pdir / f"s{i}.npz"), featurize_patch(c, patch_size=48))
+
+    cfg = dataclasses.replace(
+        tiny_config(),
+        train=TrainConfig(batch_size=2, log_every=2, checkpoint_every=3,
+                          seed=0),
+    )
+    harness = DiffAb(cfg)
+    ds = PatchDataset.from_dir(str(pdir))
+    state = fit(
+        harness, ds, None,
+        epochs=4, max_steps=5,
+        logger=MetricLogger(print_every=0),
+        checkpoint_dir=str(tmp_path / "ck"),
+        device_pool=True,
+    )
+    assert int(state.step) >= 5
+    assert ckpt.latest_step(str(tmp_path / "ck")) == int(state.step)
+
+    with pytest.raises(ValueError, match="device_pool"):
+        fit(harness, ds, None, epochs=1, device_pool=True,
+            train_step=lambda *a: None)
