@@ -63,6 +63,9 @@ def parse_args(argv=None):
     p.add_argument("-s", "--seed", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("-o", "--out-dir", default="designs")
+    p.add_argument("--no-idealize", action="store_true",
+                   help="Skip the peptide-bond idealization of designed "
+                        "edges when writing PDBs")
     p.add_argument("--data-parallel", action="store_true",
                    help="Fan designs out over all local devices")
     return p.parse_args(argv)
@@ -139,6 +142,7 @@ def main(argv=None) -> int:
     chain_letters = ["?", "H", "L"] + [chr(ord("A") + i) for i in range(7)]
 
     from diffab_pytorch_tpu.structure import reconstruct_backbone
+    from diffab_pytorch_tpu.structure.reconstruct import idealize_peptide_bonds
 
     # full backbone (N, CA, C, O) reconstructed from the designed frames;
     # context residues keep their original atoms
@@ -150,6 +154,14 @@ def main(argv=None) -> int:
         orig_mask = np.asarray(sample_dict["atom_mask"], bool)
         xyz = np.where(gen[:, None, None], xyz, orig_xyz)
         am = np.where(gen[:, None], am, orig_mask)
+        if not args.no_idealize:
+            # snap designed-edge peptide bonds to the ideal length (the
+            # standard idealization pass; CA positions and native context
+            # are untouched — structure/reconstruct.py)
+            xyz = idealize_peptide_bonds(
+                xyz, am, np.asarray(sample_dict["chain_idx"]),
+                np.asarray(sample_dict["residue_idx"]), edge_mask=gen,
+            )
         pdb_path = os.path.join(args.out_dir, f"design_{i:04d}.pdb")
         icodes = sample_dict.get("icode")
         write_pdb(

@@ -210,12 +210,20 @@ def validity_from_result(
     result: SampleResult,
     batch: ProteinBatch,
     coord_scale: float = 1.0,
+    idealize: bool = False,
 ) -> Dict[str, jax.Array]:
     """`backbone_validity` for a sampler output: N and C are placed from the
     designed frames with ideal in-frame geometry (the same construction
     structure/reconstruct.py uses to write PDBs — context frames derived
     from a real backbone reproduce its N/C to ~0.03 A), so what is scored
-    is exactly the geometry a user gets in the design PDB."""
+    is exactly the geometry a user gets in the design PDB.
+
+    idealize=True first applies the same designed-edge peptide-bond snap
+    cli.sample performs when writing PDBs (N moved onto the ideal 1.329 A
+    bond along the existing direction; jit-compatible mirror of
+    structure.reconstruct.idealize_peptide_bonds) — the score of the
+    geometry shipped by default, vs the raw-frames score that measures the
+    model itself."""
     from diffab_pytorch_tpu.structure.reconstruct import BACKBONE_LOCAL
 
     o = result.orientations.astype(jnp.float32)  # (b, L, 3, 3), rows = axes
@@ -224,11 +232,30 @@ def validity_from_result(
     # x_global = x_local @ O + t
     n_xyz = jnp.einsum("i,blij->blj", local[0], o) + t
     c_xyz = jnp.einsum("i,blij->blj", local[2], o) + t
+    rm = batch.residue_mask.astype(bool)
+    gm = batch.generation_mask.astype(bool) & rm
+    if idealize:
+        same_chain = (
+            batch.chain_idx[:, :, None] == batch.chain_idx[:, None, :]
+        ) & (rm[:, :, None] & rm[:, None, :])
+        dseq = batch.residue_idx[:, None, :] - batch.residue_idx[:, :, None]
+        edge = (
+            same_chain & (dseq == 1)
+            & (gm[:, :, None] | gm[:, None, :])
+        )  # (b, i, j): j is i's successor on a designed edge
+        # each j has at most one predecessor: the sum selects its C
+        c_pred = jnp.einsum(
+            "bij,bik->bjk", edge.astype(jnp.float32), c_xyz
+        )
+        has_pred = edge.any(axis=1)
+        d = n_xyz - c_pred
+        d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
+        n_ideal = c_pred + d * (IDEAL_C_N / coord_scale)
+        n_xyz = jnp.where(has_pred[..., None], n_ideal, n_xyz)
     return backbone_validity(
         n_xyz, t, c_xyz,
         batch.residue_mask, batch.chain_idx, batch.residue_idx,
-        batch.generation_mask & batch.residue_mask,
-        scale=coord_scale,
+        gm, scale=coord_scale,
     )
 
 

@@ -69,3 +69,50 @@ def reconstruct_backbone(
     xyz[..., :4, :] = global_bb
     mask[..., :4] = True
     return xyz, mask
+
+
+def idealize_peptide_bonds(
+    xyz: np.ndarray,  # (L, A, 3) — modified copy returned
+    atom_mask: np.ndarray,  # (L, A)
+    chain_idx: np.ndarray,  # (L,)
+    residue_idx: np.ndarray,  # (L,)
+    edge_mask: np.ndarray | None = None,  # (L,) — only edges touching these
+) -> np.ndarray:
+    """Snap each N(i+1) onto the ideal 1.329 A peptide bond along the
+    existing C(i)->N(i+1) direction (standard backbone idealization; the
+    same repair the synthetic corpus applies, data/synthetic.py).
+
+    Designed frames are diffusion outputs: per-residue geometry is ideal by
+    construction (reconstruct_backbone), but the INTER-residue C-N bond
+    inherits the residual error of adjacent frames — at ~1 A CA-RMSD that
+    is routinely a few tenths of an angstrom (QUALITY.md validity rates).
+    Moving only the N, only along the existing bond direction, fixes the
+    bond length without touching CA positions or frame orientations.
+
+    Chain adjacency from (chain_idx, residue_idx) — patch rows are k-NN
+    selections, not chain-contiguous.  With edge_mask given (typically the
+    generation mask), only edges touching a masked residue are repaired;
+    native context geometry is left byte-identical.
+    """
+    from diffab_pytorch_tpu.constants import ATOM
+
+    xyz = np.array(xyz, np.float32)
+    L = xyz.shape[0]
+    succ_of = {
+        (int(chain_idx[i]), int(residue_idx[i])): i for i in range(L)
+    }
+    for i in range(L):
+        j = succ_of.get((int(chain_idx[i]), int(residue_idx[i]) + 1))
+        if j is None:
+            continue
+        if not (atom_mask[i, ATOM.C] and atom_mask[j, ATOM.N]):
+            continue
+        if edge_mask is not None and not (edge_mask[i] or edge_mask[j]):
+            continue
+        c = xyz[i, ATOM.C]
+        n = xyz[j, ATOM.N]
+        d = n - c
+        norm = float(np.linalg.norm(d))
+        if norm > 1e-6:
+            xyz[j, ATOM.N] = c + d * (1.329 / norm)
+    return xyz

@@ -165,3 +165,71 @@ class TestValidityFromResult:
         out = evaluate_designs(res, batch, coord_scale=COORD_SCALE)
         assert bool(out["valid"][0])
         assert float(out["aar"][0]) == 1.0
+
+
+class TestIdealization:
+    """Designed-edge peptide-bond idealization: the write-time repair
+    (structure.reconstruct.idealize_peptide_bonds) and its jit-compatible
+    mirror inside validity_from_result(idealize=True)."""
+
+    def _noisy_result(self, native_sample, sigma=0.03):
+        """A 'design' = native frames with small orientation/translation
+        noise on the designed rows — realistic model residual that breaks
+        C-N bonds but not CA continuity."""
+        batch, _ = assemble_batch([native_sample], cdrs_to_generate=("H3",))
+        rng = np.random.default_rng(0)
+        gen = np.asarray(batch.generation_mask & batch.residue_mask)
+        t = np.array(batch.translations)
+        t[gen] += rng.normal(scale=sigma, size=(gen.sum(), 3))
+        return batch, SampleResult(
+            seq_idx=batch.seq_idx,
+            translations=jnp.asarray(t),
+            orientations=batch.orientations,
+        )
+
+    def test_idealize_fixes_bonds_keeps_ca(self, native_sample):
+        batch, res = self._noisy_result(native_sample)
+        raw = validity_from_result(res, batch, coord_scale=COORD_SCALE)
+        ideal = validity_from_result(
+            res, batch, coord_scale=COORD_SCALE, idealize=True
+        )
+        # 0.3 A CA noise breaks bonds pre-repair, repair clears them
+        assert int(raw["bond_viol"][0]) > 0
+        assert int(ideal["bond_viol"][0]) == 0
+        assert float(ideal["bond_max_dev"][0]) < 0.02
+
+    def test_numpy_and_jnp_idealization_agree(self, native_sample):
+        from diffab_pytorch_tpu.structure.reconstruct import (
+            BACKBONE_LOCAL, idealize_peptide_bonds,
+        )
+
+        batch, res = self._noisy_result(native_sample)
+        gen = np.asarray(batch.generation_mask & batch.residue_mask)[0]
+        # rebuild full-atom arrays the way cli.sample does — in ANGSTROMS
+        # (the CLI denormalizes before reconstruction; the numpy repair
+        # uses the absolute 1.329 A constant)
+        o = np.asarray(res.orientations[0])
+        t = np.asarray(res.translations[0]) * COORD_SCALE
+        local = BACKBONE_LOCAL
+        xyz = np.zeros((t.shape[0], 15, 3), np.float32)
+        for a in range(4):
+            xyz[:, a] = np.einsum("i,lij->lj", local[a], o) + t
+        am = np.zeros((t.shape[0], 15), bool)
+        am[:, :4] = True
+        fixed = idealize_peptide_bonds(
+            xyz, am, np.asarray(batch.chain_idx[0]),
+            np.asarray(batch.residue_idx[0]), edge_mask=gen,
+        )
+        # CA untouched everywhere; N moved only where a designed edge ends
+        np.testing.assert_array_equal(fixed[:, ATOM.CA], xyz[:, ATOM.CA])
+        moved = ~np.isclose(fixed[:, ATOM.N], xyz[:, ATOM.N]).all(-1)
+        assert moved.any()
+        chain = np.asarray(batch.chain_idx[0])
+        ridx = np.asarray(batch.residue_idx[0])
+        pred_of = {(int(c), int(r)): i for i, (c, r) in
+                   enumerate(zip(chain, ridx))}
+        for j in np.nonzero(moved)[0]:
+            i = pred_of.get((int(chain[j]), int(ridx[j]) - 1))
+            assert i is not None and (gen[i] or gen[j]), j
+            d = np.linalg.norm(fixed[j, ATOM.N] - fixed[i, ATOM.C])
+            np.testing.assert_allclose(d, 1.329, atol=1e-3)
