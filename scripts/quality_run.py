@@ -61,6 +61,10 @@ def parse_args(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--designs-per-target", type=int, default=8)
     p.add_argument("--t-restart", type=int, default=50)
+    p.add_argument("--max-eval-targets", type=int, default=40,
+                   help="Evaluate at most this many targets per split "
+                        "(deterministic subsample; keeps the eval loop "
+                        "bounded for large --train-combos)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cdrs", nargs="+", default=["H3"],
                    help="CDRs to design jointly (subset of H1 H2 H3 L1 L2 L3)")
@@ -233,8 +237,13 @@ def main(argv=None) -> int:
         out = {}
         for split, ds in val_ds.items():
             rows = {m: [] for m in eval_fns}
-            for vi in range(len(ds)):
-                raw = ds[vi]
+            n_targets = len(ds)
+            take = np.linspace(
+                0, n_targets - 1,
+                min(n_targets, args.max_eval_targets),
+            ).astype(int)
+            for vi in np.unique(take):
+                raw = ds[int(vi)]
                 one, _ = assemble_batch([raw], args.cdrs)
                 rep, _ = assemble_batch([raw] * n_designs, args.cdrs)
                 cdr_idx = jnp.asarray(np.stack([raw["cdr_idx"]] * n_designs))
