@@ -50,6 +50,9 @@ def parse_args(argv=None):
                    default="codesign")
     p.add_argument("--t-restart", type=int, default=None,
                    help="Optimization: renoise to this timestep (< T)")
+    p.add_argument("--n-steps", type=int, default=None,
+                   help="Few-step sampling: length of the strided reverse "
+                        "chain (respaced posteriors; ~T/n_steps x faster)")
     p.add_argument("--noise-scale", type=float, default=1.0,
                    help="Posterior-noise std multiplier for the coordinate "
                         "reverse chain (1.0 exact DDPM; <1 trades design "
@@ -91,14 +94,17 @@ def main(argv=None) -> int:
 
     batch, norm = assemble_batch([sample_dict], cdrs_to_generate=args.cdrs)
     harness = DiffAb(tiny_config() if args.tiny else default_config())
-    state = harness.init(jax.random.key(0), batch)
-    state = ckpt_lib.restore_checkpoint(args.checkpoint_dir, state)
-    print(f"[sample] restored checkpoint at step {int(state.step)}")
+    # params-only restore: sampling must not depend on the TrainConfig the
+    # checkpoint was trained with (opt_state tree shape varies with it)
+    template = harness.init(jax.random.key(0), batch).params
+    params, step = ckpt_lib.restore_params(args.checkpoint_dir, template)
+    print(f"[sample] restored checkpoint at step {step}")
 
     kwargs = dict(
         generate_structure=args.mode != "fix-structure",
         generate_sequence=args.mode != "fix-sequence",
         t_start=args.t_restart,
+        n_steps=args.n_steps,
         noise_scale=args.noise_scale,
         x0_clip=(
             None if str(args.x0_clip).lower() in ("none", "0")
@@ -113,7 +119,7 @@ def main(argv=None) -> int:
     if args.data_parallel:
         mesh = make_mesh()
         result = sample_fanout_sharded(
-            harness, state.params, batch, key, mesh,
+            harness, params, batch, key, mesh,
             n_designs=args.n_samples, **kwargs,
         )
     else:
@@ -121,7 +127,7 @@ def main(argv=None) -> int:
             lambda p, b, k: harness.sample(
                 p, b, k, n_designs=args.n_samples, **kwargs
             )
-        )(state.params, batch, key)
+        )(params, batch, key)
 
     os.makedirs(args.out_dir, exist_ok=True)
     seqs = np.asarray(result.seq_idx)

@@ -50,8 +50,16 @@ def reverse_step(
     generation_mask: jax.Array,
     x0_clip: float | jax.Array | None = None,
     noise_scale: float = 1.0,
+    s: jax.Array | None = None,
 ) -> jax.Array:
-    """One DDPM posterior step x_t -> x_{t-1} using the predicted noise.
+    """One DDPM posterior step x_t -> x_s using the predicted noise.
+
+    s defaults to t - 1 (the full-length chain).  Any s < t gives the
+    RESPACED posterior q(x_s | x_t, x0_hat) (DDIM-paper respacing, the
+    standard few-step accelerator): the forward kernel between s and t has
+    alpha_ts = abar_t / abar_s, and every t-1 quantity below generalizes by
+    beta -> beta_ts = 1 - alpha_ts, abar_prev -> abar_s.  s = t - 1
+    reproduces the single-step formulas exactly (alpha_ts = alpha_t).
 
     noise_scale scales the posterior noise's standard deviation
     (low-temperature sampling, cf. RFdiffusion's noise_scale): 1.0 is the
@@ -83,28 +91,42 @@ def reverse_step(
     """
     if isinstance(x0_clip, jax.Array) and x0_clip.ndim == 1:
         x0_clip = x0_clip[..., None, None]  # (b,) -> broadcast (b, L, 3)
-    beta = sched.beta[t][..., None, None]
-    alpha = sched.alpha[t][..., None, None]
+    if s is None:
+        s = t - 1
     one_minus_abar = sched.one_minus_alpha_bar_sqrt[t][..., None, None] ** 2
-    abar_prev = sched.alpha_bar[t - 1][..., None, None]
+    abar = sched.alpha_bar[t][..., None, None]
+    abar_prev = sched.alpha_bar[s][..., None, None]
+    alpha = abar / abar_prev  # alpha_ts; s = t-1 -> alpha_t
+    beta = 1.0 - alpha  # beta_ts
+    beta_tilde = (1.0 - abar_prev) / one_minus_abar * beta
 
+    # Posterior-mean parameterization, DELIBERATELY (measured, do not
+    # "upgrade" to eta-DDIM): at noise_scale < 1 the posterior mean's eps
+    # coefficient c_eps = sqrt(alpha_ts)(1-abar_s)/sqrt(1-abar_t) is
+    # SMALLER than DDIM's sqrt(1-abar_s - sigma^2), so every step
+    # CONTRACTS the carried eps/error component.  With an imperfect
+    # eps_hat that contraction is what makes the deterministic chain
+    # precise — measured on the trained compositional checkpoint
+    # (full-length, ns=0): 0.30 A CA-RMSD here vs 67 A with the exact
+    # eta-DDIM direction term, which faithfully carries the model's eps
+    # error forward instead of shrinking it.  (Both parameterizations are
+    # identical at noise_scale = 1 by the variance identity
+    # c_eps^2 + beta_tilde = 1 - abar_s, pinned in tests/test_fewstep.py.)
     if x0_clip is None:
         mean = (
             translations_t - beta / jnp.sqrt(one_minus_abar) * eps_hat
         ) / jnp.sqrt(alpha)
     else:
-        abar = sched.alpha_bar[t][..., None, None]
         x0_hat = (
             translations_t - jnp.sqrt(one_minus_abar) * eps_hat
         ) / jnp.sqrt(abar)
         x0_hat = jnp.clip(x0_hat, -x0_clip, x0_clip)
-        # q(x_{t-1} | x_t, x0_hat) posterior mean (algebraically equal to
-        # the eps-form above when the clip is inactive)
+        # q(x_s | x_t, x0_hat) posterior mean (algebraically equal to the
+        # eps-form above when the clip is inactive)
         mean = (
             jnp.sqrt(abar_prev) * beta * x0_hat
             + jnp.sqrt(alpha) * (1.0 - abar_prev) * translations_t
         ) / one_minus_abar
-    beta_tilde = (1.0 - abar_prev) / one_minus_abar * beta
     noise = jax.random.normal(key, translations_t.shape, dtype=translations_t.dtype)
     x_prev = mean + noise_scale * jnp.sqrt(jnp.maximum(beta_tilde, 0.0)) * noise
     return jnp.where(generation_mask[..., None], x_prev, translations_t)

@@ -101,15 +101,21 @@ def reverse_step(
     t: jax.Array,
     generation_mask: jax.Array,
     noise_scale: float = 1.0,
+    s: jax.Array | None = None,
 ) -> jax.Array:
-    """One reverse step R_t -> R_{t-1} via the forward kernel at t-1 applied
-    to the predicted clean frames.  sigma_{t-1=0} = 0 so the last step lands
-    exactly on R0_hat (point-mass IGSO3 row — igso3.py degenerate handling).
-    noise_scale < 1 is low-temperature sampling of the frames (0 =
-    deterministic geodesic step onto the scaled prediction).
+    """One reverse step R_t -> R_s via the forward kernel at s (default
+    t-1) applied to the predicted clean frames — the DiffAb-paper reverse
+    semantics, which respace trivially: any s < t just renoises the
+    prediction to level s (few-step sampling).  sigma_0 = 0 so the final
+    step lands exactly on R0_hat (point-mass IGSO3 row — igso3.py
+    degenerate handling).  noise_scale < 1 is low-temperature sampling of
+    the frames (0 = deterministic geodesic step onto the scaled
+    prediction).
     """
+    if s is None:
+        s = t - 1
     r_prev = _apply_forward_kernel(
-        key, tables, orientations_t0_hat, t - 1, noise_scale=noise_scale
+        key, tables, orientations_t0_hat, s, noise_scale=noise_scale
     )
     return jnp.where(generation_mask[..., None, None], r_prev, orientations_t)
 

@@ -138,8 +138,19 @@ def posterior_single_step(
     likelihood of s_t (as a function of s_{t-1}) with the t-1 jump prior
     from s_0.
     """
-    p_single = forward_prob_single_step(sched, seq_idx_t, t, generation_mask, vocab_size)
-    p_prior = forward_prob_from_t0(sched, seq_idx_t0, t - 1, generation_mask, vocab_size)
+    # the same generalized (ratio-form) kernels the sampler-side
+    # posterior_from_predicted_t0 uses, so train targets and sampling
+    # share ONE definition bit for bit (beta_t vs 1 - abar_t/abar_{t-1}
+    # differ by f32 cumprod ULPs)
+    abar_prev = sched.alpha_bar[t - 1][..., None, None]
+    beta_ts = 1.0 - sched.alpha_bar[t][..., None, None] / abar_prev
+    onehot_t = _onehot(seq_idx_t, vocab_size, sched.beta.dtype)
+    p_single = (1.0 - beta_ts) * onehot_t + beta_ts / vocab_size
+    p_single = _clamp_context(p_single, seq_idx_t, generation_mask)
+    abar_prev_full = sched.alpha_bar[t - 1][..., None, None]
+    onehot_0 = _onehot(seq_idx_t0, vocab_size, sched.beta.dtype)
+    p_prior = abar_prev_full * onehot_0 + (1.0 - abar_prev_full) / vocab_size
+    p_prior = _clamp_context(p_prior, seq_idx_t, generation_mask)
     p = p_single * p_prior
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
@@ -150,18 +161,27 @@ def posterior_from_predicted_t0(
     s0_probs: jax.Array,
     t: jax.Array,
     generation_mask: jax.Array,
+    s: jax.Array | None = None,
 ) -> jax.Array:
-    """Posterior q(s_{t-1} | s_t, p_hat(s_0)) with a *distribution* over s_0.
+    """Posterior q(s_prev | s_t, p_hat(s_0)) with a *distribution* over s_0.
 
-    q(s_{t-1}|s_0) is linear in onehot(s_0), so marginalizing the denoiser's
-    predicted p(s_0) gives:  abar_{t-1} * s0_probs + (1 - abar_{t-1}) / K.
-    This is the sampler-side counterpart of posterior_single_step — the
-    piece the reference never implemented (diffab_pytorch.py:770-776,
-    SURVEY.md §3.5).
+    s_prev defaults to t - 1; any s < t gives the RESPACED posterior for
+    few-step sampling: the uniform-mixture forward kernels compose, so
+    q(s_t | s_s) has mixture weight beta_ts = 1 - abar_t / abar_s, and the
+    jump prior from s_0 uses abar_s.  q(s_s|s_0) is linear in onehot(s_0),
+    so marginalizing the denoiser's predicted p(s_0) gives
+    abar_s * s0_probs + (1 - abar_s) / K.  This is the sampler-side
+    counterpart of posterior_single_step — the piece the reference never
+    implemented (diffab_pytorch.py:770-776, SURVEY.md §3.5).
     """
+    if s is None:
+        s = t - 1
     vocab_size = s0_probs.shape[-1]
-    p_single = forward_prob_single_step(sched, seq_idx_t, t, generation_mask, vocab_size)
-    abar_prev = sched.alpha_bar[t - 1][..., None, None]
+    abar_prev = sched.alpha_bar[s][..., None, None]
+    beta_ts = 1.0 - sched.alpha_bar[t][..., None, None] / abar_prev
+    onehot = _onehot(seq_idx_t, vocab_size, sched.beta.dtype)
+    p_single = (1.0 - beta_ts) * onehot + beta_ts / vocab_size
+    p_single = _clamp_context(p_single, seq_idx_t, generation_mask)
     p_prior = abar_prev * s0_probs + (1.0 - abar_prev) / vocab_size
     p_prior = _clamp_context(p_prior, seq_idx_t, generation_mask)
     p = p_single * p_prior
@@ -196,11 +216,13 @@ def reverse_step(
     s0_probs: jax.Array,
     t: jax.Array,
     generation_mask: jax.Array,
+    s: jax.Array | None = None,
 ) -> jax.Array:
-    """One reverse-diffusion step: sample s_{t-1} given s_t and the
-    denoiser's predicted p(s_0).  Context residues are clamped."""
+    """One reverse-diffusion step: sample s_prev (default t-1; any s < t
+    for the respaced few-step chain) given s_t and the denoiser's
+    predicted p(s_0).  Context residues are clamped."""
     posterior = posterior_from_predicted_t0(
-        sched, seq_idx_t, s0_probs, t, generation_mask
+        sched, seq_idx_t, s0_probs, t, generation_mask, s=s
     )
     sampled = categorical_from_probs(key, posterior)
     return jnp.where(generation_mask, sampled, seq_idx_t)

@@ -30,6 +30,7 @@ from typing import Optional
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from diffab_pytorch_tpu.data.batch import ProteinBatch
 from diffab_pytorch_tpu.diffusion import coordinate, orientation, sequence
@@ -69,6 +70,7 @@ def sample(
     noise_scale: float = 1.0,
     orientation_noise_scale: float = 1.0,
     n_designs: int = 1,
+    n_steps: int | None = None,
 ) -> SampleResult:
     """Run the full reverse loop.  jit-compatible (flags, t_start and
     n_designs are Python-static).
@@ -86,6 +88,12 @@ def sample(
     t_start = None or T: generation from the prior.
     1 <= t_start < T:    optimization — renoise the input CDRs to t_start
                          and denoise back (t-restart).
+    n_steps:             few-step sampling (static): run the reverse chain
+                         over a strided t-subsequence of this length using
+                         the respaced posteriors q(x_s | x_t, x0_hat) —
+                         ~t_start/n_steps x the design throughput for a
+                         measured quality cost (QUALITY.md).  None or
+                         >= t_start runs the full-length chain.
     return_trajectory:   also record per-step sequence and CA positions
                          (diffusion-path visualization / debugging).
     x0_clip:             static thresholding of the implied clean
@@ -174,10 +182,16 @@ def sample(
             kr, tables, r_ctx, tvec, struct_gen
         )
 
-    # 3. the reverse scan, t = t_start .. 1, fully on device
-    def body(carry, t):
+    # 3. the reverse scan, fully on device.  Full-length: t = t_start..1
+    # stepping to t-1.  Few-step (n_steps < t_start): a strided descending
+    # t-subsequence; each step jumps to the NEXT subsequence element via
+    # the respaced posteriors q(x_s | x_t, x0_hat) (reverse_step s=...),
+    # trading reverse-chain length for throughput (~t_start/n_steps x).
+    def body(carry, t_pair):
+        t, s_t = t_pair
         seq_t, x_t, r_t = carry
         tvec = jnp.full((bn,), t, dtype=jnp.int32)
+        svec = jnp.full((bn,), s_t, dtype=jnp.int32)
         beta = sched.beta[tvec]
 
         denoised = model.apply(
@@ -197,21 +211,31 @@ def sample(
         k = jax.random.fold_in(k_loop, t)
         k1, k2, k3 = jax.random.split(k, 3)
         seq_next = sequence.reverse_step(
-            k1, sched, seq_t, denoised["seq_posterior"], tvec, seq_gen
+            k1, sched, seq_t, denoised["seq_posterior"], tvec, seq_gen,
+            s=svec,
         )
         x_next = coordinate.reverse_step(
             k2, sched, x_t, denoised["translations_eps"], tvec, struct_gen,
-            x0_clip=x0_clip, noise_scale=noise_scale,
+            x0_clip=x0_clip, noise_scale=noise_scale, s=svec,
         )
         r_next = orientation.reverse_step(
             k3, tables, r_t, denoised["orientations_t0"], tvec, struct_gen,
-            noise_scale=orientation_noise_scale,
+            noise_scale=orientation_noise_scale, s=svec,
         )
         ys = (seq_next, x_next, r_next) if return_trajectory else None
         return (seq_next, x_next, r_next), ys
 
+    if n_steps is None or n_steps >= t_start:
+        t_seq = np.arange(t_start, 0, -1)
+    else:
+        # strided subsequence t_start..1, n_steps long, always ending at 1
+        t_seq = np.unique(
+            np.round(np.linspace(t_start, 1, n_steps)).astype(np.int64)
+        )[::-1]
+    s_seq = np.append(t_seq[1:], 0)  # each step jumps to the next t (or 0)
     (seq_0, x_0, r_0), ys = jax.lax.scan(
-        body, (seq_t, x_t, r_t), jnp.arange(t_start, 0, -1)
+        body, (seq_t, x_t, r_t),
+        (jnp.asarray(t_seq, jnp.int32), jnp.asarray(s_seq, jnp.int32)),
     )
 
     return SampleResult(

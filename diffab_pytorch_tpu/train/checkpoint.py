@@ -51,3 +51,32 @@ def restore_checkpoint(
         raise FileNotFoundError(f"no checkpoint found under {directory}")
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
     return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+
+def restore_params(
+    directory: str, params_template, step: Optional[int] = None
+):
+    """Restore ONLY the model params (+ step) from a TrainState checkpoint.
+
+    Inference entry points (cli.sample, cli.evaluate) need the weights, not
+    the optimizer state — and the opt_state tree shape depends on the
+    TrainConfig the run used (lr schedule, weight decay), which a sampling
+    CLI has no way to reconstruct.  A partial restore keeps checkpoints
+    usable across optimizer-config changes.  Returns (params, step)."""
+    mgr = _manager(directory)
+    step = mgr.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found under {directory}")
+    item = {
+        "step": jax.numpy.zeros((), jax.numpy.int32),
+        "params": params_template,
+    }
+    restored = mgr.restore(
+        step,
+        args=ocp.args.PyTreeRestore(
+            item=item,
+            restore_args=ocp.checkpoint_utils.construct_restore_args(item),
+            partial_restore=True,
+        ),
+    )
+    return restored["params"], int(restored["step"])

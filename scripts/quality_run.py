@@ -70,6 +70,12 @@ def parse_args(argv=None):
                    help="CDRs to design jointly (subset of H1 H2 H3 L1 L2 L3)")
     p.add_argument("--smoke", action="store_true",
                    help="CPU backend, tiny preset, few combos, 60 steps")
+    p.add_argument("--eval-only", action="store_true",
+                   help="Skip training: restore {workdir}/checkpoints and "
+                        "run only the trained-model evaluation (for "
+                        "measuring new sampling modes against an existing "
+                        "run without the 12k-step retrain).  Merges into "
+                        "the existing quality.json when present.")
     return p.parse_args(argv)
 
 
@@ -193,14 +199,14 @@ def main(argv=None) -> int:
     # version of this script spent 10+ minutes where this spends seconds.
     n_designs = args.designs_per_target
 
-    def make_eval_fn(t_start, noise_scale=1.0):
+    def make_eval_fn(t_start, noise_scale=1.0, n_steps=None):
         def _eval(params, one, rep, cdr_idx, key):
             # shared-context fan-out: n designs of the one target, pair
             # tensors read once (round-2 flagship path); metrics compare
             # against the n-row replicated native batch
             res = harness.sample(params, one, key, t_start=t_start,
                                  noise_scale=noise_scale,
-                                 n_designs=n_designs)
+                                 n_designs=n_designs, n_steps=n_steps)
             m = evaluate_designs(
                 res, rep, coord_scale=COORD_SCALE,
                 cdr_idx=cdr_idx, cdrs=tuple(args.cdrs), align=False,
@@ -229,6 +235,10 @@ def main(argv=None) -> int:
         # corpus each context admits one right answer, so re-injected
         # posterior noise only costs geometry (measured 20.1 -> 0.8 A)
         "codesign_precise": make_eval_fn(None, noise_scale=0.0),
+        # few-step: the 25-step respaced chain (4x design throughput);
+        # quality cost measured next to the full-length chain
+        "codesign_precise_25step": make_eval_fn(None, noise_scale=0.0,
+                                                n_steps=25),
         "optimize": make_eval_fn(args.t_restart),
     }
 
@@ -269,6 +279,28 @@ def main(argv=None) -> int:
                     f"/{agg['valid_idealized']:.2f}(ideal) "
                     f"div={agg['diversity']:.3f}")
         return out
+
+    out_path = os.path.join(args.workdir, "quality.json")
+    ckpt_dir = os.path.abspath(os.path.join(args.workdir, "checkpoints"))
+    if args.eval_only:
+        # re-measure sampling modes against an existing run's checkpoint
+        # (e.g. a new few-step mode) without paying the retrain
+        from diffab_pytorch_tpu.train.checkpoint import restore_params
+
+        params, at_step = restore_params(ckpt_dir, state.params)
+        log(f"eval-only: restored {ckpt_dir} @ step {at_step}")
+        results = {}
+        if os.path.exists(out_path):
+            with open(out_path) as fh:
+                results = json.load(fh)
+        trained = eval_params(params, "trained")
+        for split, modes in trained.items():
+            results.setdefault("trained", {}).setdefault(split, {}).update(modes)
+        results.setdefault("meta", {})["eval_only_step"] = at_step
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=2)
+        log(f"wrote {out_path}")
+        return 0
 
     log("evaluating UNTRAINED model on both val splits")
     results = {"untrained": eval_params(untrained_params, "untrained")}
@@ -315,7 +347,6 @@ def main(argv=None) -> int:
     log(f"trained {args.steps} steps in {train_wall:.1f}s "
         f"({sps:.0f} samples/s incl. host input pipeline)")
 
-    ckpt_dir = os.path.abspath(os.path.join(args.workdir, "checkpoints"))
     save_checkpoint(ckpt_dir, state)
     log(f"checkpoint saved to {ckpt_dir} @ step {int(state.step)}")
 
@@ -341,7 +372,6 @@ def main(argv=None) -> int:
         "train_samples_per_sec": sps,
         "loss_curve": losses,
     }
-    out_path = os.path.join(args.workdir, "quality.json")
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=2)
     log(f"wrote {out_path}")

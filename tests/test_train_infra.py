@@ -47,6 +47,37 @@ def test_checkpoint_roundtrip(harness, batch, tmp_path):
         ckpt.restore_checkpoint(str(tmp_path / "nope"), template)
 
 
+def test_restore_params_ignores_opt_state_shape(harness, batch, tmp_path):
+    """Params-only restore (the cli.sample path) must work even when the
+    restoring process would build a DIFFERENT opt_state tree than the one
+    trained with (e.g. checkpoint from a run with an lr schedule /
+    weight-decay chain).  Regression: restore_checkpoint used to require a
+    full TrainState template, so inference broke on any optimizer-config
+    mismatch."""
+    import dataclasses
+
+    from diffab_pytorch_tpu.config import TrainConfig
+
+    cfg = dataclasses.replace(
+        tiny_config(),
+        train=TrainConfig(lr_decay_steps=50, weight_decay=0.01),
+    )
+    trainer = DiffAb(cfg)  # a longer optax chain than tiny_config's
+    state = trainer.init(jax.random.key(1), batch)
+    step = trainer.make_train_step(donate=False)
+    state, _ = step(state, batch, jax.random.key(2))
+    d = str(tmp_path / "ckpt_sched")
+    ckpt.save_checkpoint(d, state)
+
+    template = harness.init(jax.random.key(3), batch).params
+    params, at_step = ckpt.restore_params(d, template)
+    assert at_step == 1
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(FileNotFoundError):
+        ckpt.restore_params(str(tmp_path / "nope"), template)
+
+
 def test_checkpoint_retention(harness, batch, tmp_path):
     state = harness.init(jax.random.key(4), batch)
     step = harness.make_train_step(donate=False)
