@@ -69,6 +69,9 @@ def parse_args(argv=None):
     p.add_argument("--no-idealize", action="store_true",
                    help="Skip the peptide-bond idealization of designed "
                         "edges when writing PDBs")
+    p.add_argument("--no-relax", action="store_true",
+                   help="Skip the designed-CA continuity relaxation "
+                        "(loop closure) before writing PDBs")
     p.add_argument("--data-parallel", action="store_true",
                    help="Fan designs out over all local devices")
     return p.parse_args(argv)
@@ -130,6 +133,23 @@ def main(argv=None) -> int:
         )(params, batch, key)
 
     os.makedirs(args.out_dir, exist_ok=True)
+    if not args.no_relax and args.mode != "fix-structure":
+        # designed-CA continuity projection (loop closure): repairs the
+        # CA-CA anchor breaks that dominate validity failures of the
+        # stochastic chains; a fixed point for already-valid geometry
+        # (structure/relax.py).  Runs in normalized model units, before
+        # the pose denormalization below.
+        from diffab_pytorch_tpu.data.dataset import COORD_SCALE
+        from diffab_pytorch_tpu.structure.relax import relax_ca
+
+        n = args.n_samples
+        rep = lambda a: jax.numpy.repeat(a, n, axis=0)
+        relaxed = relax_ca(
+            result.translations, rep(batch.residue_mask),
+            rep(batch.chain_idx), rep(batch.residue_idx),
+            rep(batch.generation_mask), coord_scale=COORD_SCALE,
+        )
+        result = dataclasses.replace(result, translations=relaxed)
     seqs = np.asarray(result.seq_idx)
     # invert the pose normalization (center + canonical rotation + scale)
     # for BOTH coordinates and frames — reconstruct_backbone places N/C/O

@@ -211,6 +211,7 @@ def validity_from_result(
     batch: ProteinBatch,
     coord_scale: float = 1.0,
     idealize: bool = False,
+    relax: bool = False,
 ) -> Dict[str, jax.Array]:
     """`backbone_validity` for a sampler output: N and C are placed from the
     designed frames with ideal in-frame geometry (the same construction
@@ -223,11 +224,20 @@ def validity_from_result(
     bond along the existing direction; jit-compatible mirror of
     structure.reconstruct.idealize_peptide_bonds) — the score of the
     geometry shipped by default, vs the raw-frames score that measures the
-    model itself."""
+    model itself.  relax=True additionally runs the designed-CA continuity
+    projection (structure.relax.relax_ca) BEFORE the bond snap — together
+    these mirror cli.sample's default post-processing exactly."""
     from diffab_pytorch_tpu.structure.reconstruct import BACKBONE_LOCAL
 
     o = result.orientations.astype(jnp.float32)  # (b, L, 3, 3), rows = axes
     t = result.translations.astype(jnp.float32)
+    if relax:
+        from diffab_pytorch_tpu.structure.relax import relax_ca
+
+        t = relax_ca(
+            t, batch.residue_mask, batch.chain_idx, batch.residue_idx,
+            batch.generation_mask, coord_scale=coord_scale,
+        )
     local = jnp.asarray(BACKBONE_LOCAL, jnp.float32) / coord_scale  # model units
     # x_global = x_local @ O + t
     n_xyz = jnp.einsum("i,blij->blj", local[0], o) + t

@@ -217,14 +217,16 @@ def main(argv=None) -> int:
             m["diversity"] = sequence_diversity(
                 res.seq_idx, rep.generation_mask[0]
             )
-            # validity of the geometry cli.sample actually ships (after
-            # the designed-edge bond idealization), next to the raw-frames
-            # validity evaluate_designs reports
+            # validity of the geometry cli.sample actually ships (CA
+            # continuity relaxation + designed-edge bond idealization),
+            # next to the raw-frames validity evaluate_designs reports
             vi = validity_from_result(
-                res, rep, coord_scale=COORD_SCALE, idealize=True
+                res, rep, coord_scale=COORD_SCALE, idealize=True,
+                relax=True,
             )
             m["valid_idealized"] = vi["valid"]
             m["ca_break_idealized"] = vi["ca_break"]
+            m["clash_idealized"] = vi["clash_count"]
             return m
 
         return jax.jit(_eval)
