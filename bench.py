@@ -116,12 +116,16 @@ def sampler_hbm_bytes(cfg, b: int, L: int, T: int, n_designs: int = 1) -> float:
     pair_read = bp * ll * dp * 2
     bias_read = bp * h * ll * 4
     attn_rt = 2 * b * h * ll * 2
-    out_pair_write = b * L * h * dp * 2
+    # the output projection is applied as sliced partial matmuls in each
+    # operand's native layout (round 2b, models/ipa.py): the pair
+    # contribution crosses HBM as a d-wide tensor (target-major write +
+    # design-major transpose round-trip), not as the h*dp-wide out_pair
+    out_pair_write = 3 * b * L * d * 2
     # lumped per-residue streams: x reads for 7 projections, QKV write+read,
-    # point-cloud frame transforms (write+read), concat + output dense
+    # point-cloud frame transforms (write+read), partial projections
     act = b * L * (
         7 * d + 2 * 3 * h * ds + 4 * 3 * h * pq * 3
-        + 2 * h * (ds + dp + 3 * pv + pv) + 2 * d
+        + h * (ds + 3 * pv + pv) + 2 * d
     ) * 2
     per_layer = pair_read + bias_read + attn_rt + out_pair_write + act
 
@@ -166,8 +170,8 @@ def main():
     # §2.10): many designs of ONE target, via the shared-context fan-out
     # (sample n_designs=N — pair tensor and bias logits read once per
     # target).  N=128 is the measured throughput peak on v5e (scripts/
-    # bench_fanout.py: 278 vs 184 samples/s for the tiled replicate_batch
-    # path at the same width, and 252 at N=256).
+    # bench_fanout.py: 301 vs 184 samples/s for the tiled replicate_batch
+    # path at the same width, and 253 at N=256).
     N_DESIGNS, L, T = 128, 128, cfg.diffusion.T
     one = synthetic_batch(jax.random.key(0), 1, L, cfg.model.n_atoms,
                           n_generate=8)

@@ -207,18 +207,65 @@ class InvariantPointAttentionLayer(nn.Module):
             pallas_flag = jax.default_backend() == "tpu"
         use_pallas = pallas_flag and cfg.use_pair_bias and pq == pv
         if use_pallas:
-            from diffab_pytorch_tpu.ops.ipa_pallas import fused_ipa_attention
+            # RAW kernel outputs + the output projection applied as SLICED
+            # partial matmuls of the to_out kernel, in the layouts each
+            # operand already has (measured 90 -> 64 us/iter at n=128 over
+            # the relayout-heavy concat path, DESIGN.md §3):
+            #   * out_s is consumed in its kernel (b, h*ds, L) layout;
+            #   * the pair contribution is projected to d_model while still
+            #     TARGET-major (bp, i, n, h*dp) — the design-major transpose
+            #     then moves a (b, L, d) tensor, 4x smaller than out_pair;
+            #   * points still need the (b, L, ...) layout for the frame
+            #     inverse and the norm nonlinearity.
+            # Splitting the matmul only changes f32-accumulation grouping.
+            from diffab_pytorch_tpu.ops.ipa_pallas import (
+                fused_ipa_attention_raw,
+            )
 
             mask = (
                 residue_mask.astype(dt)
                 if residue_mask is not None
                 else jnp.ones((b, L), dt)
             )
-            out_s, out_pair_o, out_point = fused_ipa_attention(
-                q_s, k_s, v_s, q_p, k_p, v_p, pair.astype(dt), bias_pair,
+            out_s_t, attn, out_point = fused_ipa_attention_raw(
+                q_s, k_s, v_s, q_p, k_p, v_p, bias_pair,
                 gamma, mask, scale_scalar, scale_point, scale_total,
             )
-            outs = [out_s.reshape(b, L, h * ds), out_pair_o.reshape(b, L, -1)]
+            dp = cfg.d_pair_emb
+            width = h * ds + h * dp + h * pv * 3 + h * pv
+            to_out = nn.Dense(cfg.d_residue_emb, dtype=dt, name="to_out")
+            # materialize the projection matrix through the Dense so the
+            # param tree is unchanged (eye @ W + b rows minus the bias row;
+            # XLA hoists both calls out of the sampler scan — constants)
+            b_row = to_out(jnp.zeros((1, width), dt))  # (1, d)
+            W = to_out(jnp.eye(width, dtype=dt)) - b_row  # (width, d)
+            W_s = W[: h * ds]
+            W_pair = W[h * ds: h * ds + h * dp]
+            W_p = W[h * ds + h * dp: h * ds + h * dp + h * pv * 3]
+            W_n = W[h * ds + h * dp + h * pv * 3:]
+
+            acc = jax.lax.dot_general(
+                out_s_t.reshape(b, h * ds, L), W_s,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+            )  # (b, L, d)
+            attn_g = attn.reshape(bp, n_designs, h, L, L)
+            op = jax.lax.dot_general(
+                attn_g, pair.astype(dt),
+                dimension_numbers=(((4,), (2,)), ((0, 3), (0, 1))),
+            )  # (bp, i, n, h, dp)
+            op = jax.lax.dot_general(
+                op.reshape(bp, L, n_designs, h * dp), W_pair,
+                dimension_numbers=(((3,), (0,)), ((), ())),
+            )  # (bp, i, n, d)
+            acc = acc + jnp.transpose(op, (0, 2, 1, 3)).reshape(b, L, -1)
+
+            out_point = frames_apply_inverse(
+                out_point, rot.astype(dt), trans.astype(dt)
+            )
+            out_point_norm = jnp.sqrt(jnp.sum(out_point**2, axis=-1) + 1e-8)
+            acc = acc + out_point.reshape(b, L, h * pv * 3) @ W_p
+            acc = acc + out_point_norm.reshape(b, L, h * pv) @ W_n
+            return acc + b_row
         else:
             # logits as explicit (b, h)-batched MXU matmuls on transposed
             # operands — einsums with the head dim between the batch and

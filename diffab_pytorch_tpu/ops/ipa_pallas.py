@@ -42,6 +42,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e9
 
+# Designs folded into ONE grid cell under fan-out (None = auto).  At wide
+# fan-out the (targets, designs) grid runs one tiny working set (~0.8 MB)
+# per cell; folding db designs per cell amortizes the per-iteration
+# pipeline overhead db-fold at the cost of db x the VMEM footprint
+# (~3.4 MB of blocks per design-quad + f32 logits).  Auto picks the
+# largest of (4, 2, 1) dividing n_designs — measured fastest with safe
+# VMEM headroom on v5e (DESIGN.md §3).  Tests override this module global
+# to pin per-db numerics.
+DESIGNS_PER_BLOCK: int | None = None
+
+
+def _pick_designs_per_block(n_designs: int) -> int:
+    if DESIGNS_PER_BLOCK is not None:
+        if n_designs % DESIGNS_PER_BLOCK:
+            raise ValueError(
+                f"DESIGNS_PER_BLOCK={DESIGNS_PER_BLOCK} does not divide "
+                f"n_designs={n_designs}"
+            )
+        return DESIGNS_PER_BLOCK
+    for db in (4, 2):
+        if n_designs % db == 0:
+            return db
+    return 1
+
 
 def _attention_core_jnp(
     q_s, k_s, v_s,  # (b, L, h, ds)
@@ -84,13 +108,13 @@ def _attention_core_jnp(
 
 
 def _kernel(
-    q_ref, k_ref,  # (h, F, L) augmented projections — see _pallas_forward
-    v_s_ref,  # (h, ds, L)
-    v_p_ref,  # (h, P*3, L)
+    q_ref, k_ref,  # (db, h, F, L) augmented projections — see _pallas_forward
+    v_s_ref,  # (db, h, ds, L)
+    v_p_ref,  # (db, h, P*3, L)
     bias_ref,  # (h, L, L) — precomputed pair-bias logits
-    out_s_ref,  # (h, ds, L)
-    out_p_ref,  # (h, P*3, L)
-    attn_ref,  # (h, L, L) — attention weights (pair reduction runs in XLA)
+    out_s_ref,  # (db, h, ds, L)
+    out_p_ref,  # (db, h, P*3, L)
+    attn_ref,  # (db, h, L, L) — attention weights (pair reduction runs in XLA)
     *,
     scale_total: float,
 ):
@@ -104,40 +128,86 @@ def _kernel(
     Matmuls run in the INPUT dtype (bf16 on TPU) with f32 accumulation;
     softmax stays f32.  The (features, L) layout keeps L as the lane
     dimension (Mosaic requires 128-aligned lane slices; per-head feature
-    widths like 192 cannot satisfy that)."""
+    widths like 192 cannot satisfy that).
+
+    The leading db axis is the designs-per-cell fold (DESIGNS_PER_BLOCK):
+    db designs of ONE target run in one grid cell as a (db*h)-batched dot
+    — the leading-axes reshape is layout-free, and the shared bias block
+    broadcasts from the same VMEM copy."""
     f32 = jnp.float32
     dt_in = q_ref.dtype
+    db, h, _, L = q_ref.shape
+    fold = lambda x: x.reshape(db * h, *x.shape[2:])
 
-    # logit[h, i, j] = sum_f q_aug[h, f, i] k_aug[h, f, j]
+    # logit[g, i, j] = sum_f q_aug[g, f, i] k_aug[g, f, j], g = (d, h)
     logit = jax.lax.dot_general(
-        q_ref[:], k_ref[:],
+        fold(q_ref[:]), fold(k_ref[:]),
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=f32,
-    )  # (h, L, L)
+    )  # (db*h, L, L)
     # key masking is already inside the augmented contraction (a dedicated
     # row pair adds -1e9/scale_total on padded keys), so the kernel touches
     # no sub-tile mask block and no boolean vectors
-    logit = (logit + bias_ref[:].astype(f32)) * scale_total
+    bias = bias_ref[:].astype(f32)  # (h, L, L)
+    logit = (
+        logit.reshape(db, h, L, L) + bias[None]
+    ).reshape(db * h, L, L) * scale_total
 
     m = jnp.max(logit, axis=-1, keepdims=True)
     e = jnp.exp(logit - m)
-    attn = e / jnp.sum(e, axis=-1, keepdims=True)  # (h, i, j) f32
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)  # (g, i, j) f32
     attn_in = attn.astype(dt_in)
 
-    # out[h, d, i] = sum_j v[h, d, j] attn[h, i, j]
+    # out[g, d, i] = sum_j v[g, d, j] attn[g, i, j]
     v_dot = lambda v_t: jax.lax.dot_general(
         v_t, attn_in, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=f32,
     )
-    out_s_ref[:] = v_dot(v_s_ref[:]).astype(out_s_ref.dtype)
-    out_p_ref[:] = v_dot(v_p_ref[:]).astype(out_p_ref.dtype)
-    attn_ref[:] = attn_in
+    out_s_ref[:] = v_dot(fold(v_s_ref[:])).astype(out_s_ref.dtype).reshape(
+        out_s_ref.shape
+    )
+    out_p_ref[:] = v_dot(fold(v_p_ref[:])).astype(out_p_ref.dtype).reshape(
+        out_p_ref.shape
+    )
+    attn_ref[:] = attn_in.reshape(attn_ref.shape)
 
 
-def _pallas_forward(
-    q_s, k_s, v_s, q_p, k_p, v_p, pair, bias, gamma, mask,
+def _attention_core_raw_jnp(
+    q_s, k_s, v_s, q_p, k_p, v_p, bias, gamma, mask,
     scale_scalar, scale_point, scale_total,
 ):
+    """jnp mirror of the RAW kernel outputs (no pair reduction):
+    out_s in kernel layout (b, h, ds, L), the attention weights, and the
+    point output in (b, L, h, P, 3).  Used as the VJP recompute target of
+    `fused_ipa_attention_raw`."""
+    b, L, h, ds = q_s.shape
+    pq = q_p.shape[3]
+    bb = bias if bias.shape[0] == b else jnp.repeat(bias, b // bias.shape[0], axis=0)
+
+    logit = jnp.einsum("bihd,bjhd->bhij", q_s, k_s) * scale_scalar
+    qf = q_p.reshape(b, L, h, pq * 3)
+    kf = k_p.reshape(b, L, h, pq * 3)
+    cross = jnp.einsum("bihc,bjhc->bhij", qf, kf)
+    q_sq = jnp.sum(qf * qf, axis=-1).transpose(0, 2, 1)
+    k_sq = jnp.sum(kf * kf, axis=-1).transpose(0, 2, 1)
+    sq_dist = q_sq[:, :, :, None] + k_sq[:, :, None, :] - 2.0 * cross
+    logit = logit - 0.5 * scale_point * gamma[None, :, None, None] * sq_dist
+    logit = (logit + bb) * scale_total
+    logit = jnp.where(mask[:, None, None, :] > 0, logit, _NEG_INF)
+    attn = jax.nn.softmax(logit, axis=-1)
+
+    out_s_t = jnp.einsum("bhij,bjhd->bhdi", attn, v_s)
+    out_p = jnp.einsum("bhij,bjhpc->bihpc", attn, v_p)
+    return out_s_t, attn, out_p
+
+
+def _pallas_raw(
+    q_s, k_s, v_s, q_p, k_p, v_p, bias, gamma, mask,
+    scale_scalar, scale_point, scale_total,
+):
+    """Assemble the augmented operands and run the kernel.  Returns the
+    kernel-native layouts: out_s (b, h, ds, L), out_p (b, h, pv*3, L),
+    attn (b, h, L, L)."""
     b, L, h, ds = q_s.shape
     pq = q_p.shape[3]
     pv = v_p.shape[3]
@@ -187,17 +257,22 @@ def _pallas_forward(
     q_aug = jnp.pad(q_aug, padding)
     k_aug = jnp.pad(k_aug, padding)
 
-    # Grid (targets, designs) with the design axis minor: per-design blocks
-    # index row i*n+j, while the bias block's index map is constant across
-    # the inner design iterations — Pallas detects the unchanged block index
-    # and SKIPS the HBM->VMEM copy, so each target's bias logits are fetched
-    # once and revisited from VMEM by all n designs (the design-grid
-    # re-read VERDICT round 1 asked for).  n_designs = 1 degenerates to the
-    # original (b,) grid behavior.
+    # Grid (targets, design blocks) with the design axis minor: per-design
+    # blocks cover rows [.. i*n + j*db ..), while the bias block's index map
+    # is constant across the inner design iterations — Pallas detects the
+    # unchanged block index and SKIPS the HBM->VMEM copy, so each target's
+    # bias logits are fetched once and revisited from VMEM by all n designs
+    # (the design-grid re-read VERDICT round 1 asked for).  db > 1
+    # additionally folds db designs into ONE cell (fewer, fatter pipeline
+    # iterations — see DESIGNS_PER_BLOCK).  n_designs = 1 degenerates to
+    # the original (b,) grid behavior.
+    db = _pick_designs_per_block(n_designs)
+    n_blocks = n_designs // db
+
     def head_spec(height):
         return pl.BlockSpec(
-            (1, h, height, L),
-            lambda i, j: (i * n_designs + j, 0, 0, 0),
+            (db, h, height, L),
+            lambda i, j: (i * n_blocks + j, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -206,7 +281,7 @@ def _pallas_forward(
     )
 
     grid_spec = pl.GridSpec(
-        grid=(bp, n_designs),
+        grid=(bp, n_blocks),
         in_specs=[
             head_spec(F), head_spec(F),
             head_spec(ds), head_spec(pv * 3),
@@ -219,10 +294,9 @@ def _pallas_forward(
 
     kernel = functools.partial(_kernel, scale_total=float(scale_total))
 
-    # block shapes carry a leading 1 (batch); squeeze inside via index 0
+    # the bias block carries a leading 1 (target); squeeze it inside
     def kernel_wrap(q, k, vs, vp, bi, os, opt, at):
-        kernel(q.at[0], k.at[0], vs.at[0], vp.at[0], bi.at[0],
-               os.at[0], opt.at[0], at.at[0])
+        kernel(q, k, vs, vp, bi.at[0], os, opt, at)
 
     out_shapes = [
         jax.ShapeDtypeStruct((b, h, ds, L), dt),
@@ -242,6 +316,21 @@ def _pallas_forward(
         # interpret on CPU so the kernel is testable on the faked mesh
         interpret=jax.default_backend() == "cpu",
     )(q_aug, k_aug, head_t(v_s), head_t(v_p), bias)
+    return out_s, out_p, attn
+
+
+def _pallas_forward(
+    q_s, k_s, v_s, q_p, k_p, v_p, pair, bias, gamma, mask,
+    scale_scalar, scale_point, scale_total,
+):
+    b, L, h, ds = q_s.shape
+    pv = v_p.shape[3]
+    n_designs = b // bias.shape[0]
+    dt = q_s.dtype
+    out_s, out_p, attn = _pallas_raw(
+        q_s, k_s, v_s, q_p, k_p, v_p, bias, gamma, mask,
+        scale_scalar, scale_point, scale_total,
+    )
 
     # attended pair rows OUTSIDE the kernel: XLA lowers this (b, i)-batched
     # (h, j) x (j, dp) contraction straight onto the MXU reading pair once,
@@ -299,3 +388,49 @@ def _bwd(scale_scalar, scale_point, scale_total, residuals, grads):
 
 
 fused_ipa_attention.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def fused_ipa_attention_raw(
+    q_s, k_s, v_s, q_p, k_p, v_p, bias, gamma, mask,
+    scale_scalar, scale_point, scale_total,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused IPA attention core, RAW outputs (no pair reduction):
+    out_s in the kernel's (b, h, ds, L) layout, attn (b, h, L, L), and
+    out_p (b, L, h, P, 3).  Lets the caller consume out_s and attn in
+    layouts that avoid the design-major relayouts of the fan-out path
+    (models/ipa.py applies the output projection as sliced partial
+    matmuls; DESIGN.md §3)."""
+    out_s, out_p, attn = _pallas_raw(
+        q_s, k_s, v_s, q_p, k_p, v_p, bias, gamma, mask,
+        scale_scalar, scale_point, scale_total,
+    )
+    b, L = q_s.shape[:2]
+    pv = v_p.shape[3]
+    out_p = jnp.transpose(out_p, (0, 3, 1, 2)).reshape(b, L, -1, pv, 3)
+    return out_s, attn, out_p
+
+
+def _fwd_raw(q_s, k_s, v_s, q_p, k_p, v_p, bias, gamma, mask,
+             scale_scalar, scale_point, scale_total):
+    out = fused_ipa_attention_raw(
+        q_s, k_s, v_s, q_p, k_p, v_p, bias, gamma, mask,
+        scale_scalar, scale_point, scale_total,
+    )
+    return out, (q_s, k_s, v_s, q_p, k_p, v_p, bias, gamma, mask)
+
+
+def _bwd_raw(scale_scalar, scale_point, scale_total, residuals, grads):
+    """Backward differentiates the identical jnp computation (recompute)."""
+    q_s, k_s, v_s, q_p, k_p, v_p, bias, gamma, mask = residuals
+    _, vjp = jax.vjp(
+        lambda *args: _attention_core_raw_jnp(
+            *args, scale_scalar=scale_scalar, scale_point=scale_point,
+            scale_total=scale_total,
+        ),
+        q_s, k_s, v_s, q_p, k_p, v_p, bias, gamma, mask,
+    )
+    return vjp(grads)
+
+
+fused_ipa_attention_raw.defvjp(_fwd_raw, _bwd_raw)

@@ -89,6 +89,35 @@ def test_fanout_pallas_matches_xla(harness, batch, state):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_designs_per_block_fold_equivalence(harness, batch, state):
+    """The designs-per-cell fold (ops/ipa_pallas.py DESIGNS_PER_BLOCK) is a
+    pure grid regrouping: db in {1, 2, 4} must produce the same designs
+    (measured bit-identical on TPU; pinned here in interpret mode)."""
+    from diffab_pytorch_tpu.ops import ipa_pallas
+
+    cfg = dataclasses.replace(
+        harness.config,
+        model=dataclasses.replace(harness.config.model,
+                                  use_pallas_attention=True),
+    )
+    hp = DiffAb(cfg)
+    results = {}
+    try:
+        for db in (1, 2, 4):
+            ipa_pallas.DESIGNS_PER_BLOCK = db
+            results[db] = hp.sample(
+                state.params, batch, jax.random.key(5), n_designs=4
+            )
+    finally:
+        ipa_pallas.DESIGNS_PER_BLOCK = None
+    for db in (2, 4):
+        np.testing.assert_array_equal(
+            np.asarray(results[1].seq_idx), np.asarray(results[db].seq_idx))
+        np.testing.assert_allclose(
+            np.asarray(results[1].translations),
+            np.asarray(results[db].translations), rtol=1e-6, atol=1e-6)
+
+
 def test_fanout_trajectory_records_orientations(harness, batch, state):
     res = harness.sample(state.params, batch, jax.random.key(3), n_designs=2,
                          return_trajectory=True)
