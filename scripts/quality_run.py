@@ -274,9 +274,21 @@ def main(argv=None) -> int:
                     )
                     agg[k] = float(np.mean(vals))
                     agg[k + "_std"] = float(np.std(vals))
+                    agg[k + "_median"] = float(np.median(vals))
+                # per-target best-of-n (min RMSD over a target's designs,
+                # averaged over targets): the metric a pick-the-best
+                # design workflow sees.  The MEAN RMSD of stochastic modes
+                # is dominated by a small scattered minority (median
+                # ~0.25-0.29 A at every noise scale, probe 2026-08-17);
+                # reporting only the mean misreads those modes.
+                agg["ca_rmsd_best_of_n"] = float(np.mean(
+                    [np.atleast_1d(r["ca_rmsd"]).min() for r in rows[mode]]
+                ))
                 out[split][mode] = agg
                 log(f"{label}/{split}/{mode}: aar={agg['aar']:.3f} "
                     f"rmsd={agg['ca_rmsd']:.2f}A "
+                    f"(med {agg['ca_rmsd_median']:.2f}, "
+                    f"best {agg['ca_rmsd_best_of_n']:.2f}) "
                     f"valid={agg['valid']:.2f}"
                     f"/{agg['valid_idealized']:.2f}(ideal) "
                     f"div={agg['diversity']:.3f}")
