@@ -181,6 +181,18 @@ _SLOT_POSITIONS = [
     (88, 89, 90), (91, 92, 93), (103, 104, 105), (106, 107, 108),
 ]
 
+# Multi-CDR extension (round 2): the same 4 slots can drive H1 and H2 as
+# well, for JOINT compositional design across three loops (Chothia heavy
+# ranges, constants.CHOTHIA_CDR_RANGES).  Each loop has its own sequence
+# offset (distinct motifs per loop), its own fan phase (distinct
+# conformation directions), and its own bump amplitudes (shorter loops
+# get gentler displacements so stereochemistry survives).  The default
+# cdr_loops=("H3",) reproduces the original corpus byte-for-byte.
+CDR_LOOP_RANGES = {"H1": (26, 32), "H2": (52, 56), "H3": (95, 102)}
+_LOOP_SEQ_OFFSET = {"H1": 2, "H2": 4, "H3": 1}
+_LOOP_PHASE = {"H1": 0.9, "H2": 1.9, "H3": 0.0}
+_LOOP_BUMP = {"H1": (0.6, 0.35), "H2": (0.6, 0.35)}  # H3 uses the args
+
 
 def all_combos(n_values: int) -> list[tuple[int, ...]]:
     """Every slot-value combination, lexicographic."""
@@ -190,26 +202,41 @@ def all_combos(n_values: int) -> list[tuple[int, ...]]:
     return combos
 
 
-def combo_h3_motif(combo: tuple[int, ...]) -> list[str]:
-    """H3 position k (Chothia 95+k) depends ONLY on slot k mod N_SLOTS:
-    the per-position local rule that makes generalization measurable."""
-    lo, hi = H3_RANGE
+def combo_loop_motif(combo: tuple[int, ...], loop: str = "H3") -> list[str]:
+    """Loop position k depends ONLY on slot k mod N_SLOTS: the
+    per-position local rule that makes generalization measurable.  Each
+    loop has a distinct additive offset so its motifs differ."""
+    lo, hi = CDR_LOOP_RANGES[loop]
+    off = _LOOP_SEQ_OFFSET[loop]
     return [
-        _aa(combo[k % N_SLOTS] * 7 + 3 * k + 1) for k in range(hi - lo + 1)
+        _aa(combo[k % N_SLOTS] * 7 + 3 * k + off) for k in range(hi - lo + 1)
     ]
 
 
-def _heavy_sequence_combo(resnums: list[int], combo: tuple[int, ...]) -> list[str]:
+def combo_h3_motif(combo: tuple[int, ...]) -> list[str]:
+    return combo_loop_motif(combo, "H3")
+
+
+def _heavy_sequence_combo(
+    resnums: list[int], combo: tuple[int, ...],
+    cdr_loops: tuple[str, ...] = ("H3",),
+) -> list[str]:
     seq = []
-    lo, hi = H3_RANGE
+    loop_of_pos = {
+        r: (loop, r - CDR_LOOP_RANGES[loop][0])
+        for loop in cdr_loops
+        for r in range(CDR_LOOP_RANGES[loop][0],
+                       CDR_LOOP_RANGES[loop][1] + 1)
+    }
     slot_of_pos = {
         p: (j, i)
         for j, positions in enumerate(_SLOT_POSITIONS)
         for i, p in enumerate(positions)
     }
     for r in resnums:
-        if lo <= r <= hi:
-            seq.append(combo_h3_motif(combo)[r - lo])
+        if r in loop_of_pos:
+            loop, k = loop_of_pos[r]
+            seq.append(combo_loop_motif(combo, loop)[k])
         elif r in slot_of_pos:
             j, i = slot_of_pos[r]
             seq.append(_aa(combo[j] * 7 + 5 + 4 * i + j))  # slot-value code
@@ -247,8 +274,11 @@ def make_combo_pdb(
     bump_base: float = 1.0,
     bump_step: float = 0.6,
     jitter: float = 0.1,
+    cdr_loops: tuple[str, ...] = ("H3",),
 ) -> str:
-    """One synthetic complex for the given slot-value combination."""
+    """One synthetic complex for the given slot-value combination.  With
+    cdr_loops beyond H3, the listed loops' sequences AND conformations are
+    slot-driven too (joint multi-CDR compositional design)."""
     rng = np.random.default_rng(
         (hash(combo) & 0x7FFFFFFF) * 2_000_003 + seed
     )
@@ -257,7 +287,9 @@ def make_combo_pdb(
         list(range(1, heavy_len + 1)),
         origin=np.zeros(3), direction=np.array([1.0, 0.2, 0.0]),
         perp=np.array([0.0, 0.0, 1.0]), rng=rng,
-        sequence=_heavy_sequence_combo(list(range(1, heavy_len + 1)), combo),
+        sequence=_heavy_sequence_combo(
+            list(range(1, heavy_len + 1)), combo, tuple(cdr_loops)
+        ),
     )
     l_res, _ = _chain_residues(
         list(range(1, light_len + 1)),
@@ -278,24 +310,29 @@ def make_combo_pdb(
     # direction/amplitude is the MEAN of per-slot contributions (direction
     # fixed per slot, amplitude affine in the slot's value) — linear in the
     # slots, so an unseen combination's loop is the predictable mixture of
-    # contributions seen during training
-    lo, hi = H3_RANGE
-    mix = np.zeros(3)
-    for j, v in enumerate(combo):
-        # directions form a 150-degree fan in the y-z plane (NOT a full
-        # circle: with opposed directions, equal slot values would cancel
-        # to a zero displacement and distinct combos would collapse onto
-        # one conformation)
-        phi = (j / max(N_SLOTS - 1, 1) - 0.5) * (5.0 * np.pi / 6.0)
-        u = np.array([0.0, np.cos(phi), np.sin(phi)])
-        mix = mix + (bump_base + bump_step * v) * u
-    mix = mix / N_SLOTS
-    for res in h_res:
-        if lo <= res.resnum <= hi:
-            w = np.sin(np.pi * (res.resnum - lo + 0.5) / (hi - lo + 1))
-            shift = w * mix
-            for name in res.atoms:
-                res.atoms[name] = res.atoms[name] + shift
+    # contributions seen during training.  Each requested loop gets its own
+    # mixture: the fan rotates by the loop's phase and shorter loops use
+    # gentler amplitudes (_LOOP_BUMP).
+    for loop in cdr_loops:
+        lo, hi = CDR_LOOP_RANGES[loop]
+        base, step = _LOOP_BUMP.get(loop, (bump_base, bump_step))
+        phase = _LOOP_PHASE[loop]
+        mix = np.zeros(3)
+        for j, v in enumerate(combo):
+            # directions form a 150-degree fan in the y-z plane (NOT a full
+            # circle: with opposed directions, equal slot values would cancel
+            # to a zero displacement and distinct combos would collapse onto
+            # one conformation)
+            phi = (j / max(N_SLOTS - 1, 1) - 0.5) * (5.0 * np.pi / 6.0) + phase
+            u = np.array([0.0, np.cos(phi), np.sin(phi)])
+            mix = mix + (base + step * v) * u
+        mix = mix / N_SLOTS
+        for res in h_res:
+            if lo <= res.resnum <= hi:
+                w = np.sin(np.pi * (res.resnum - lo + 0.5) / (hi - lo + 1))
+                shift = w * mix
+                for name in res.atoms:
+                    res.atoms[name] = res.atoms[name] + shift
 
     rot = _random_rotation(rng)
     for residues in (h_res, l_res, a_res):
@@ -334,6 +371,7 @@ def write_combo_corpus(
     n_per_combo: int = 12,
     n_val_instances: int = 2,
     seed: int = 0,
+    cdr_loops: tuple[str, ...] = ("H3",),
     **pdb_kwargs,
 ) -> dict:
     """Write the compositional corpus + split manifest.
@@ -355,20 +393,22 @@ def write_combo_corpus(
         for i in range(n_per_combo):
             pdb_id = f"c{idx}_s{i}"
             with open(os.path.join(pdb_dir, f"{pdb_id}.pdb"), "w") as fh:
-                fh.write(make_combo_pdb(combo, seed * 1_000 + i, **pdb_kwargs))
+                fh.write(make_combo_pdb(combo, seed * 1_000 + i,
+                                        cdr_loops=cdr_loops, **pdb_kwargs))
             rows.append(f"{pdb_id},H,L,A")
     for idx, combo in enumerate(heldout):
         for i in range(n_val_instances):
             pdb_id = f"h{idx}_s{i}"
             with open(os.path.join(pdb_dir, f"{pdb_id}.pdb"), "w") as fh:
                 fh.write(make_combo_pdb(combo, seed * 1_000 + 500 + i,
-                                        **pdb_kwargs))
+                                        cdr_loops=cdr_loops, **pdb_kwargs))
             rows.append(f"{pdb_id},H,L,A")
     with open(os.path.join(out_dir, "meta.csv"), "w") as fh:
         fh.write("\n".join(rows) + "\n")
     manifest = {
         "n_values": n_values,
         "n_slots": N_SLOTS,
+        "cdr_loops": list(cdr_loops),
         "train_combos": [list(c) for c in train],
         "heldout_combos": [list(c) for c in heldout],
         "n_per_combo": n_per_combo,

@@ -119,12 +119,19 @@ def main(argv=None) -> int:
     if len(glob.glob(os.path.join(npz_dir, "*.npz"))) != want:
         log(f"generating compositional corpus: {args.train_combos} train + "
             f"{args.heldout_combos} held-out combos (v={args.n_values})")
+        # heavy-chain CDRs in --cdrs drive the corpus: slot-driven sequence
+        # AND conformation per listed loop (multi-CDR joint design);
+        # unlisted loops stay deterministic framework-like regions
+        from diffab_pytorch_tpu.data.synthetic import CDR_LOOP_RANGES
+
+        loops = tuple(c for c in args.cdrs if c in CDR_LOOP_RANGES) or ("H3",)
         write_combo_corpus(
             args.workdir, n_values=args.n_values,
             n_train_combos=args.train_combos,
             n_heldout_combos=args.heldout_combos,
             n_per_combo=args.per_combo,
             n_val_instances=args.val_instances, seed=args.seed,
+            cdr_loops=loops,
         )
         os.makedirs(npz_dir, exist_ok=True)
         for pdb_path in sorted(glob.glob(os.path.join(args.workdir, "pdb",

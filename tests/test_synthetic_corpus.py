@@ -221,6 +221,92 @@ def test_combo_pdb_is_stereochemically_valid(tmp_path):
     assert int(val["ca_break"][0]) == 0
 
 
+def test_multicdr_combo_default_unchanged():
+    """cdr_loops defaults to ("H3",) and reproduces the original corpus
+    byte-for-byte — existing runs and their preprocessed caches stay
+    valid."""
+    from diffab_pytorch_tpu.data.synthetic import make_combo_pdb
+
+    a = make_combo_pdb((1, 0, 3, 2), seed=7)
+    b = make_combo_pdb((1, 0, 3, 2), seed=7, cdr_loops=("H3",))
+    assert a == b
+
+
+def test_multicdr_combo_loops_are_slot_driven(tmp_path):
+    """With cdr_loops=(H1,H2,H3): each loop's sequence follows the per-slot
+    rule with its own offset (loops differ from each other), and changing
+    one slot moves every loop's governed positions in sequence AND
+    displaces each loop's conformation."""
+    from diffab_pytorch_tpu.data.synthetic import (
+        CDR_LOOP_RANGES, N_SLOTS, combo_loop_motif, make_combo_pdb,
+    )
+
+    loops = ("H1", "H2", "H3")
+    # per-slot locality of every loop's motif
+    a = combo_loop_motif((0, 1, 2, 3), "H1")
+    b = combo_loop_motif((0, 3, 2, 1), "H1")
+    for k in range(len(a)):
+        assert (a[k] == b[k]) == ((k % N_SLOTS) in (0, 2)), k
+    # distinct motifs across loops at shared positions
+    m = {lp: combo_loop_motif((1, 2, 3, 0), lp) for lp in loops}
+    assert m["H1"][:5] != m["H2"][:5]
+    assert m["H1"][:7] != m["H3"][:7]
+
+    def parse(combo, name):
+        p = tmp_path / f"{name}.pdb"
+        p.write_text(make_combo_pdb(combo, seed=0, cdr_loops=loops))
+        return antibody.from_pdb(
+            str(p), heavy_chain_id="H", light_chain_id="L",
+            antigen_chain_ids=["A"],
+        )
+
+    c_a = parse((1, 2, 0, 3), "ma")
+    c_b = parse((1, 2, 3, 3), "mb")  # slot 2 differs
+
+    from diffab_pytorch_tpu.constants import ATOM
+    for loop in loops:
+        lo, hi = CDR_LOOP_RANGES[loop]
+        in_loop_a = (c_a.chain_idx == 1) & (c_a.residue_number >= lo) \
+            & (c_a.residue_number <= hi)
+        in_loop_b = (c_b.chain_idx == 1) & (c_b.residue_number >= lo) \
+            & (c_b.residue_number <= hi)
+        # slot 2 governs positions k = 2 mod 4 of every loop: sequences differ
+        assert (np.asarray(c_a.seq_idx)[in_loop_a]
+                != np.asarray(c_b.seq_idx)[in_loop_b]).any(), loop
+        # conformation displaced (poses are random: compare loop shape in a
+        # loop-local frame via pairwise distances to the loop start)
+        xa = np.asarray(c_a.xyz)[in_loop_a, ATOM.CA]
+        xb = np.asarray(c_b.xyz)[in_loop_b, ATOM.CA]
+        da = np.linalg.norm(xa - xa[0], axis=-1)
+        db_ = np.linalg.norm(xb - xb[0], axis=-1)
+        assert np.abs(da - db_).max() > 0.05, loop
+
+
+def test_multicdr_combo_pdb_is_stereochemically_valid(tmp_path):
+    """Max-amplitude displacements on ALL THREE loops keep the backbone
+    inside the validity gate (joint-design training data must be clean)."""
+    from diffab_pytorch_tpu.constants import ATOM
+    from diffab_pytorch_tpu.data.synthetic import make_combo_pdb
+    from diffab_pytorch_tpu.evaluation import backbone_validity
+
+    p = tmp_path / "mv.pdb"
+    p.write_text(make_combo_pdb((3, 3, 3, 3), seed=0,
+                                cdr_loops=("H1", "H2", "H3")))
+    c = antibody.from_pdb(
+        str(p), heavy_chain_id="H", light_chain_id="L",
+        antigen_chain_ids=["A"],
+    )
+    gen = c.get_cdr_mask(["H1", "H2", "H3"])
+    val = backbone_validity(
+        c.xyz[None, :, ATOM.N, :], c.xyz[None, :, ATOM.CA, :],
+        c.xyz[None, :, ATOM.C, :],
+        c.atom_mask[None, :, :3].all(-1), c.chain_idx[None],
+        c.residue_idx[None], gen[None],
+    )
+    assert int(val["bond_viol"][0]) == 0
+    assert int(val["ca_break"][0]) == 0
+
+
 def test_combo_corpus_manifest(tmp_path):
     from diffab_pytorch_tpu.data.synthetic import write_combo_corpus
 
