@@ -301,3 +301,15 @@ class DiffAb:
             self.model, params, self.sched, self.orientation_tables, batch,
             key, **kwargs,
         )
+
+    def score_designs(self, params, batch: ProteinBatch, designs,
+                      key: jax.Array, **kwargs):
+        """Likelihood-rank designs without ground truth — see
+        sampling.scoring (Monte-Carlo ELBO terms on the design; lower is
+        better, comparable within one target's designs)."""
+        from diffab_pytorch_tpu.sampling.scoring import score_designs as _score
+
+        return _score(
+            self.model, params, self.sched, self.orientation_tables, batch,
+            designs, key, **kwargs,
+        )
