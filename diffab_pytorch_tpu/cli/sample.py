@@ -74,6 +74,11 @@ def parse_args(argv=None):
                         "(loop closure) before writing PDBs")
     p.add_argument("--data-parallel", action="store_true",
                    help="Fan designs out over all local devices")
+    p.add_argument("--rank", action="store_true",
+                   help="Score every design with the model-based "
+                        "likelihood ranking (sampling/scoring.py; no "
+                        "ground truth needed) — scores land in the FASTA "
+                        "headers and scores.json, best design first")
     return p.parse_args(argv)
 
 
@@ -133,6 +138,44 @@ def main(argv=None) -> int:
         )(params, batch, key)
 
     os.makedirs(args.out_dir, exist_ok=True)
+    scores = ranks = None
+    if args.rank:
+        # score the sampler's RAW output (before relax/idealize touch the
+        # geometry): the score estimates the model's own likelihood of what
+        # it generated.  Lower = better; comparable within this target.
+        sc = jax.jit(
+            lambda p, b, d, k: harness.score_designs(
+                p, b, d, k,
+                generate_structure=kwargs["generate_structure"],
+                generate_sequence=kwargs["generate_sequence"],
+            )
+        )(params, batch, result, jax.random.key(args.seed + 1))
+        scores = np.asarray(sc.score)
+        order = np.argsort(scores)
+        ranks = np.empty_like(order)
+        ranks[order] = np.arange(len(order))
+        import json
+
+        with open(os.path.join(args.out_dir, "scores.json"), "w") as f:
+            json.dump(
+                {
+                    f"design_{i:04d}": {
+                        "score": float(scores[i]),
+                        "seq_score": float(np.asarray(sc.seq_score)[i]),
+                        "translations_score": float(
+                            np.asarray(sc.translations_score)[i]
+                        ),
+                        "orientations_score": float(
+                            np.asarray(sc.orientations_score)[i]
+                        ),
+                        "rank": int(ranks[i]),
+                    }
+                    for i in range(args.n_samples)
+                },
+                f, indent=2,
+            )
+        print(f"[sample] best design by model score: "
+              f"design_{int(order[0]):04d} (score {scores[order[0]]:.4f})")
     if not args.no_relax and args.mode != "fix-structure":
         # designed-CA continuity projection (loop closure): repairs the
         # CA-CA anchor breaks that dominate validity failures of the
@@ -203,9 +246,13 @@ def main(argv=None) -> int:
             THREE_TO_ONE.get(AA_THREE[s], "X") if s < 20 else "X"
             for s in seqs[i][gen]
         )
-        fasta_lines.append(f">design_{i:04d} cdrs={'+'.join(args.cdrs)}")
+        header = f">design_{i:04d} cdrs={'+'.join(args.cdrs)}"
+        if scores is not None:
+            header += f" score={scores[i]:.4f} rank={int(ranks[i])}"
+        fasta_lines.append(header)
         fasta_lines.append(cdr_seq)
-        print(f"design {i:04d}: {cdr_seq}")
+        print(f"design {i:04d}: {cdr_seq}"
+              + (f" score={scores[i]:.4f}" if scores is not None else ""))
 
     with open(os.path.join(args.out_dir, "designs.fasta"), "w") as f:
         f.write("\n".join(fasta_lines) + "\n")

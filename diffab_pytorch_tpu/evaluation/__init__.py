@@ -6,5 +6,6 @@ from diffab_pytorch_tpu.evaluation.metrics import (
     evaluate_designs,
     kabsch,
     sequence_diversity,
+    spearman_corr,
     validity_from_result,
 )

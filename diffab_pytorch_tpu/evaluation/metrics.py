@@ -117,6 +117,21 @@ def sequence_diversity(
     return (per_pair * off_diag).sum() / jnp.maximum(off_diag.sum(), 1.0)
 
 
+def spearman_corr(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Spearman rank correlation between two (n,) vectors.  Scalar.
+
+    Used to validate the model-based design ranking (sampling/scoring.py)
+    against ground-truth RMSD: rho > 0 means lower scores pick better
+    designs.  Rank ties get distinct ranks by position (scores from the
+    Monte-Carlo scorer are continuous, so ties have measure zero)."""
+    rank = lambda x: jnp.argsort(jnp.argsort(x)).astype(jnp.float32)
+    ra, rb = rank(a), rank(b)
+    ra = ra - ra.mean()
+    rb = rb - rb.mean()
+    denom = jnp.sqrt(jnp.sum(ra * ra) * jnp.sum(rb * rb))
+    return jnp.sum(ra * rb) / jnp.maximum(denom, 1e-12)
+
+
 # ---------------------------------------------------------------------------
 # Stereochemical validity (round-1 VERDICT weak #6): a designed backbone can
 # score 0.8 A CA-RMSD at the scored positions and still be chemically broken

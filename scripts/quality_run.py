@@ -103,7 +103,8 @@ def main(argv=None) -> int:
     )
     from diffab_pytorch_tpu.data.synthetic import write_combo_corpus
     from diffab_pytorch_tpu.evaluation import (
-        evaluate_designs, sequence_diversity, validity_from_result,
+        evaluate_designs, sequence_diversity, spearman_corr,
+        validity_from_result,
     )
     from diffab_pytorch_tpu.train import DiffAb
     from diffab_pytorch_tpu.train.checkpoint import save_checkpoint
@@ -234,6 +235,18 @@ def main(argv=None) -> int:
             m["valid_idealized"] = vi["valid"]
             m["ca_break_idealized"] = vi["ca_break"]
             m["clash_idealized"] = vi["clash_count"]
+            # model-based design ranking (sampling/scoring.py): does the
+            # oracle-free score pick good designs?  rank_spearman > 0 means
+            # lower score <-> lower RMSD; *_top1_by_score is what a user
+            # who keeps only the best-scored design actually gets (compare
+            # against ca_rmsd_best_of_n, the ground-truth oracle)
+            sc = harness.score_designs(
+                params, one, res, jax.random.fold_in(key, 12345),
+            )
+            m["rank_spearman"] = spearman_corr(sc.score, m["ca_rmsd"])
+            top1 = jnp.argmin(sc.score)
+            m["ca_rmsd_top1_by_score"] = m["ca_rmsd"][top1]
+            m["aar_top1_by_score"] = m["aar"][top1]
             return m
 
         return jax.jit(_eval)
@@ -295,7 +308,9 @@ def main(argv=None) -> int:
                 log(f"{label}/{split}/{mode}: aar={agg['aar']:.3f} "
                     f"rmsd={agg['ca_rmsd']:.2f}A "
                     f"(med {agg['ca_rmsd_median']:.2f}, "
-                    f"best {agg['ca_rmsd_best_of_n']:.2f}) "
+                    f"best {agg['ca_rmsd_best_of_n']:.2f}, "
+                    f"top1-by-score {agg['ca_rmsd_top1_by_score']:.2f}, "
+                    f"rho {agg['rank_spearman']:.2f}) "
                     f"valid={agg['valid']:.2f}"
                     f"/{agg['valid_idealized']:.2f}(ideal) "
                     f"div={agg['diversity']:.3f}")

@@ -150,3 +150,22 @@ def test_overfit_then_optimize_beats_untrained():
     assert aar_t > aar_u
     assert aar_t > 2 / 21  # clearly above chance
     assert rmsd_t < rmsd_u
+
+
+def test_spearman_corr():
+    from diffab_pytorch_tpu.evaluation import spearman_corr
+
+    a = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    # perfectly monotone (any increasing transform) -> rho = 1
+    np.testing.assert_allclose(
+        float(spearman_corr(a, jnp.exp(a))), 1.0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(spearman_corr(a, -a)), -1.0, atol=1e-6
+    )
+    # matches scipy's definition on a fixed permutation
+    b = jnp.asarray([2.0, 0.5, 3.1, 1.7])
+    # ranks a: 0 1 2 3; ranks b: 2 0 3 1 -> pearson of ranks
+    ra, rb = np.array([0, 1, 2, 3.0]), np.array([2, 0, 3, 1.0])
+    expect = np.corrcoef(ra, rb)[0, 1]
+    np.testing.assert_allclose(float(spearman_corr(a, b)), expect, atol=1e-6)
