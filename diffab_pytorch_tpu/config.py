@@ -58,6 +58,18 @@ class ModelConfig:
     # enables much larger training batches (HBM is the binding constraint
     # at b >= 64 with the (b, L, L, A^2) distance features).
     remat_ipa: bool = False
+    # Self-conditioning (Chen et al. 2022 "Analog Bits"; used by
+    # RFdiffusion): feed the PREVIOUS denoising step's clean-state estimate
+    # (x0_hat in each residue's local frame + predicted p(s_0)) back into
+    # the denoiser.  Targets the scattered-design failure mode of
+    # stochastic full-length chains (QUALITY.md: the mean/median RMSD
+    # split).  Training runs a second conditioned forward on a
+    # stop-gradient first-pass estimate for a random half of the batch
+    # (~2x step cost); sampling threads the estimate through the scan for
+    # free.  OFF by default: enabling widens the denoiser fuse layer, so
+    # checkpoints are not interchangeable with the default tree (the
+    # reference has no such mechanism; golden parity keeps the default).
+    self_conditioning: bool = False
 
     @property
     def dtype(self):

@@ -66,14 +66,23 @@ class Denoiser(nn.Module):
         res_context_emb: jax.Array,  # (b, L, d)
         pair_context_emb: jax.Array,  # (b, L, L, d_pair)
         beta: jax.Array,  # (b,) schedule variance at t
-        generation_mask: jax.Array | None = None,  # (b, L) (unused, parity)
+        generation_mask: jax.Array | None = None,  # (b, L) gates sc features
         residue_mask: jax.Array | None = None,  # (b, L) masks attention
         pair_biases: list | None = None,  # precomputed per-layer (b,h,L,L)
+        sc_translations_x0: jax.Array | None = None,  # (b, L, 3) prev x0_hat
+        sc_seq_probs: jax.Array | None = None,  # (b, L, K) prev p_hat(s_0)
+        sc_mask: jax.Array | None = None,  # (b,) 1 where the estimate is real
     ) -> Dict[str, jax.Array]:
         cfg = self.cfg
         dt = cfg.dtype
         d = cfg.d_residue_emb
         b, L = seq_idx_t.shape
+        if not cfg.self_conditioning and sc_translations_x0 is not None:
+            raise ValueError(
+                "sc_* inputs given but ModelConfig.self_conditioning is off"
+            )
+        if sc_translations_x0 is not None and sc_seq_probs is None:
+            raise ValueError("sc_translations_x0 requires sc_seq_probs")
 
         # fuse noisy-sequence embedding with the context embedding.  Under
         # design fan-out (models/ipa.py) the context tensors carry batch
@@ -94,7 +103,45 @@ class Denoiser(nn.Module):
         s_emb = nn.Embed(cfg.aa_vocab_size, d, dtype=dt, name="sequence_embedding")(
             seq_idx_t
         )
-        res = jnp.concatenate([res_context_emb.astype(dt), s_emb], axis=-1)
+        parts = [res_context_emb.astype(dt), s_emb]
+        if cfg.self_conditioning:
+            # Rotation-INVARIANT encoding of the previous clean-state
+            # estimate: x0_hat expressed in the residue's current noisy
+            # frame (global rotations cancel in (x - t) @ R^T), the
+            # predicted p(s_0) (already invariant), and a validity flag so
+            # zeros-because-absent is distinguishable from
+            # zeros-because-coincident.  Gated to GENERATED residues: the
+            # implied x0_hat at context rows divides a clean x_t by
+            # sqrt(abar) against a garbage eps_hat and is meaningless.
+            from diffab_pytorch_tpu.models.ipa import frames_apply_inverse
+
+            K = cfg.aa_vocab_size
+            if sc_translations_x0 is None:
+                sc_feats = jnp.zeros((b, L, 3 + K + 1), dt)
+            else:
+                gate = (
+                    jnp.ones((b, L), jnp.float32)
+                    if generation_mask is None
+                    else generation_mask.astype(jnp.float32)
+                )
+                if sc_mask is not None:
+                    gate = gate * sc_mask.astype(jnp.float32)[:, None]
+                gate = gate[..., None]
+                sc_local = frames_apply_inverse(
+                    sc_translations_x0.astype(jnp.float32),
+                    orientations_t.astype(jnp.float32),
+                    translations_t.astype(jnp.float32),
+                )
+                sc_feats = jnp.concatenate(
+                    [
+                        sc_local * gate,
+                        sc_seq_probs.astype(jnp.float32) * gate,
+                        gate,
+                    ],
+                    axis=-1,
+                ).astype(dt)
+            parts.append(sc_feats)
+        res = jnp.concatenate(parts, axis=-1)
         res = nn.Dense(d, dtype=dt, name="fuse_0")(res)
         res = nn.relu(res)
         res = nn.Dense(d, dtype=dt, name="fuse_1")(res)

@@ -88,11 +88,15 @@ class DiffAbModel(nn.Module):
         generation_mask: jax.Array,
         residue_mask: jax.Array,
         pair_biases: list | None = None,
+        sc_translations_x0: jax.Array | None = None,
+        sc_seq_probs: jax.Array | None = None,
+        sc_mask: jax.Array | None = None,
     ) -> Dict[str, jax.Array]:
         """One denoising prediction at timestep t (reference :726-768).
         pair_biases: optional per-layer precomputed bias logits
         (models.ipa.precompute_pair_biases) — t-independent, hoisted out of
-        sampling loops."""
+        sampling loops.  sc_*: previous clean-state estimate for
+        self-conditioning (ModelConfig.self_conditioning)."""
         return self.denoiser(
             seq_idx_t,
             translations_t,
@@ -103,6 +107,9 @@ class DiffAbModel(nn.Module):
             generation_mask=generation_mask,
             residue_mask=residue_mask,
             pair_biases=pair_biases,
+            sc_translations_x0=sc_translations_x0,
+            sc_seq_probs=sc_seq_probs,
+            sc_mask=sc_mask,
         )
 
     def __call__(
@@ -114,6 +121,9 @@ class DiffAbModel(nn.Module):
         beta: jax.Array,
         generate_structure: bool = True,
         generate_sequence: bool = True,
+        sc_translations_x0: jax.Array | None = None,
+        sc_seq_probs: jax.Array | None = None,
+        sc_mask: jax.Array | None = None,
     ) -> Dict[str, jax.Array]:
         """Full forward: encode context then denoise (used for init and as
         the single-step training forward)."""
@@ -129,4 +139,7 @@ class DiffAbModel(nn.Module):
             beta,
             batch.generation_mask,
             batch.residue_mask,
+            sc_translations_x0=sc_translations_x0,
+            sc_seq_probs=sc_seq_probs,
+            sc_mask=sc_mask,
         )

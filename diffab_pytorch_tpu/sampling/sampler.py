@@ -187,9 +187,21 @@ def sample(
     # t-subsequence; each step jumps to the NEXT subsequence element via
     # the respaced posteriors q(x_s | x_t, x0_hat) (reverse_step s=...),
     # trading reverse-chain length for throughput (~t_start/n_steps x).
+    # self-conditioning: thread the previous step's clean-state estimate
+    # through the scan (free at sampling time — the estimate is a
+    # byproduct of every denoise call; config.py self_conditioning)
+    sc_on = model.cfg.self_conditioning
+
     def body(carry, t_pair):
         t, s_t = t_pair
-        seq_t, x_t, r_t = carry
+        if sc_on:
+            (seq_t, x_t, r_t), (sc_x, sc_p, sc_flag) = carry
+            sc_kwargs = dict(
+                sc_translations_x0=sc_x, sc_seq_probs=sc_p, sc_mask=sc_flag
+            )
+        else:
+            seq_t, x_t, r_t = carry
+            sc_kwargs = {}
         tvec = jnp.full((bn,), t, dtype=jnp.int32)
         svec = jnp.full((bn,), s_t, dtype=jnp.int32)
         beta = sched.beta[tvec]
@@ -206,6 +218,7 @@ def sample(
             res_mask,
             pair_biases=pair_biases,
             method="denoise",
+            **sc_kwargs,
         )
 
         k = jax.random.fold_in(k_loop, t)
@@ -223,7 +236,17 @@ def sample(
             noise_scale=orientation_noise_scale, s=svec,
         )
         ys = (seq_next, x_next, r_next) if return_trajectory else None
-        return (seq_next, x_next, r_next), ys
+        state_next = (seq_next, x_next, r_next)
+        if sc_on:
+            sc_next = (
+                coordinate.predicted_x0(
+                    sched, x_t, denoised["translations_eps"], tvec
+                ),
+                denoised["seq_posterior"],
+                jnp.ones((bn,), jnp.float32),
+            )
+            return (state_next, sc_next), ys
+        return state_next, ys
 
     if n_steps is None or n_steps >= t_start:
         t_seq = np.arange(t_start, 0, -1)
@@ -233,10 +256,22 @@ def sample(
             np.round(np.linspace(t_start, 1, n_steps)).astype(np.int64)
         )[::-1]
     s_seq = np.append(t_seq[1:], 0)  # each step jumps to the next t (or 0)
-    (seq_0, x_0, r_0), ys = jax.lax.scan(
-        body, (seq_t, x_t, r_t),
+    carry0 = (seq_t, x_t, r_t)
+    if sc_on:
+        carry0 = (
+            carry0,
+            (
+                jnp.zeros_like(x_t),  # sc x0 estimate (none yet)
+                jnp.zeros(seq_t.shape + (model.cfg.aa_vocab_size,),
+                          x_t.dtype),
+                jnp.zeros((bn,), jnp.float32),  # sc flag: 0 = cold start
+            ),
+        )
+    final, ys = jax.lax.scan(
+        body, carry0,
         (jnp.asarray(t_seq, jnp.int32), jnp.asarray(s_seq, jnp.int32)),
     )
+    seq_0, x_0, r_0 = final[0] if sc_on else final
 
     return SampleResult(
         seq_idx=seq_0,

@@ -180,10 +180,34 @@ class DiffAb:
         """One stochastic training loss evaluation: t ~ U[1, T] per batch
         element, noise, encode, denoise, three masked losses (reference
         _shared_step, diffab_pytorch.py:808-880)."""
-        k_t, k_noise = jax.random.split(key)
+        k_t, k_noise, k_sc = jax.random.split(key, 3)
         b = batch.batch_size
         t = jax.random.randint(k_t, (b,), 1, self.config.diffusion.T + 1)
         noised = self.add_noise(k_noise, batch, t)
+
+        sc_kwargs = {}
+        if self.config.model.self_conditioning:
+            # Self-conditioning (config.py): a stop-gradient first pass
+            # supplies the clean-state estimate for a random half of the
+            # samples — the model learns BOTH the cold start (sampling
+            # step T) and the conditioned steps (all later ones).
+            first = self.model.apply(
+                params,
+                batch,
+                noised.seq_idx_t,
+                noised.translations_t,
+                noised.orientations_t,
+                noised.beta,
+            )
+            x0_hat = coordinate.predicted_x0(
+                self.sched, noised.translations_t,
+                first["translations_eps"], t,
+            )
+            sc_kwargs = dict(
+                sc_translations_x0=jax.lax.stop_gradient(x0_hat),
+                sc_seq_probs=jax.lax.stop_gradient(first["seq_posterior"]),
+                sc_mask=jax.random.bernoulli(k_sc, 0.5, (b,)),
+            )
 
         denoised = self.model.apply(
             params,
@@ -192,6 +216,7 @@ class DiffAb:
             noised.translations_t,
             noised.orientations_t,
             noised.beta,
+            **sc_kwargs,
         )
         # The head predicts p_hat(s_0); the KL's predicted distribution is
         # the derived posterior q(s_{t-1}|s_t, p_hat(s_0)) — the SAME

@@ -68,6 +68,9 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cdrs", nargs="+", default=["H3"],
                    help="CDRs to design jointly (subset of H1 H2 H3 L1 L2 L3)")
+    p.add_argument("--self-conditioning", action="store_true",
+                   help="Train/sample with self-conditioning "
+                        "(ModelConfig.self_conditioning; ~2x train step)")
     p.add_argument("--smoke", action="store_true",
                    help="CPU backend, tiny preset, few combos, 60 steps")
     p.add_argument("--eval-only", action="store_true",
@@ -182,6 +185,7 @@ def main(argv=None) -> int:
         model=dataclasses.replace(
             cfg.model,
             compute_dtype="float32" if args.smoke else "bfloat16",
+            self_conditioning=args.self_conditioning,
         ),
         train=TrainConfig(
             batch_size=args.bsz, lr=args.lr, seed=args.seed,
@@ -403,6 +407,7 @@ def main(argv=None) -> int:
         "lr": args.lr,
         "t_restart": args.t_restart,
         "params_m": n_params / 1e6,
+        "self_conditioning": args.self_conditioning,
         "backend": jax.default_backend(),
         "compute_dtype": cfg.model.compute_dtype,
         "train_samples_per_sec": sps,

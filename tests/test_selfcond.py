@@ -1,0 +1,194 @@
+"""Self-conditioning contracts (config.py ModelConfig.self_conditioning).
+
+The mechanism is OURS (the reference has no sampler to condition —
+diffab_pytorch.py:770-776); the recipe is the standard one (Chen et al.
+2022; RFdiffusion).  Pinned here:
+
+  * default OFF leaves the parameter tree bit-identical (checkpoints and
+    the golden weight-transplant test are untouched);
+  * SE(3) equivariance holds WITH conditioning (the sc features are built
+    invariantly: local-frame displacement + p(s_0) + flag);
+  * the flag gates the features (flag 0 == no estimate given);
+  * training and sampling run end to end with it on.
+"""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffab_pytorch_tpu.config import DiffAbConfig, tiny_config
+from diffab_pytorch_tpu.data.batch import synthetic_batch
+from diffab_pytorch_tpu.models.diffab import DiffAbModel
+from diffab_pytorch_tpu.train import DiffAb
+
+B, L = 2, 32
+
+
+def sc_config() -> DiffAbConfig:
+    cfg = tiny_config()
+    return dc.replace(cfg, model=dc.replace(cfg.model, self_conditioning=True))
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return synthetic_batch(jax.random.key(0), B, L, 15, n_generate=8)
+
+
+@pytest.fixture(scope="module")
+def harness():
+    return DiffAb(sc_config())
+
+
+@pytest.fixture(scope="module")
+def state(harness, batch):
+    return harness.init(jax.random.key(1), batch)
+
+
+def test_default_off_param_tree_unchanged(batch):
+    """self_conditioning=False must init the exact tree of the pre-feature
+    code: same leaves, same shapes (the golden transplant test depends on
+    it)."""
+    base = DiffAb(tiny_config()).init(jax.random.key(1), batch).params
+    d = tiny_config().model.d_residue_emb
+    fuse0 = base["params"]["denoiser"]["fuse_0"]["kernel"]
+    assert fuse0.shape[0] == 2 * d  # no sc feature columns
+
+    sc = DiffAb(sc_config()).init(jax.random.key(1), batch).params
+    fuse0_sc = sc["params"]["denoiser"]["fuse_0"]["kernel"]
+    K = tiny_config().model.aa_vocab_size
+    assert fuse0_sc.shape[0] == 2 * d + 3 + K + 1
+    # every OTHER leaf keeps its shape
+    flat = dict(jax.tree_util.tree_flatten_with_path(base)[0])
+    flat_sc = dict(jax.tree_util.tree_flatten_with_path(sc)[0])
+    assert set(map(str, flat)) == set(map(str, flat_sc))
+    for kpath, leaf in flat.items():
+        if "fuse_0" in str(kpath) and "kernel" in str(kpath):
+            continue
+        assert leaf.shape == flat_sc[kpath].shape, kpath
+
+
+def test_flag_zero_equals_no_estimate(harness, state, batch):
+    """sc features with flag 0 must produce the SAME output as passing no
+    estimate at all — the gate is the only path in."""
+    beta = jnp.full((B,), 0.2)
+    x_t = batch.translations
+    r_t = batch.orientations
+    base = harness.model.apply(
+        state.params, batch, batch.seq_idx, x_t, r_t, beta
+    )
+    gated = harness.model.apply(
+        state.params, batch, batch.seq_idx, x_t, r_t, beta,
+        sc_translations_x0=x_t + 3.0,
+        sc_seq_probs=jnp.full((B, L, 21), 1 / 21.0),
+        sc_mask=jnp.zeros((B,)),
+    )
+    for k in base:
+        np.testing.assert_allclose(
+            np.asarray(base[k]), np.asarray(gated[k]), atol=1e-6
+        )
+    # ... and flag 1 actually changes the prediction
+    on = harness.model.apply(
+        state.params, batch, batch.seq_idx, x_t, r_t, beta,
+        sc_translations_x0=x_t + 3.0,
+        sc_seq_probs=jnp.full((B, L, 21), 1 / 21.0),
+        sc_mask=jnp.ones((B,)),
+    )
+    assert float(jnp.abs(on["translations_eps"]
+                         - base["translations_eps"]).max()) > 1e-4
+
+
+def test_se3_equivariance_with_conditioning(batch):
+    """The sc features are invariant by construction, so the heads keep
+    their covariance under a global rotation WITH an estimate plugged in
+    (the estimate rotates with the system)."""
+    cfg = sc_config().model
+    model = DiffAbModel(dc.replace(cfg, compute_dtype="float32"))
+    beta = jnp.array([0.01, 0.4])
+    k = jax.random.key(3)
+    x_t = batch.translations + 0.1 * jax.random.normal(k, (B, L, 3))
+    r_t = batch.orientations
+    sc_x = batch.translations + 0.2 * jax.random.normal(
+        jax.random.key(4), (B, L, 3)
+    )
+    sc_p = jax.nn.softmax(
+        jax.random.normal(jax.random.key(5), (B, L, 21)), axis=-1
+    )
+    flag = jnp.ones((B,))
+    params = model.init(jax.random.key(0), batch, batch.seq_idx, x_t, r_t,
+                        beta)
+
+    theta = 1.1
+    q = jnp.array(
+        [[jnp.cos(theta), -jnp.sin(theta), 0.0],
+         [jnp.sin(theta), jnp.cos(theta), 0.0],
+         [0.0, 0.0, 1.0]]
+    )
+    rot_batch = batch.replace(
+        xyz=batch.xyz @ q, orientations=batch.orientations @ q
+    )
+    out = model.apply(params, batch, batch.seq_idx, x_t, r_t, beta,
+                      sc_translations_x0=sc_x, sc_seq_probs=sc_p,
+                      sc_mask=flag)
+    out_r = model.apply(params, rot_batch, batch.seq_idx, x_t @ q, r_t @ q,
+                        beta, sc_translations_x0=sc_x @ q, sc_seq_probs=sc_p,
+                        sc_mask=flag)
+    np.testing.assert_allclose(
+        np.asarray(out_r["translations_eps"]),
+        np.asarray(out["translations_eps"] @ q), atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r["orientations_t0"]),
+        np.asarray(out["orientations_t0"] @ q), atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_r["seq_posterior"]),
+        np.asarray(out["seq_posterior"]), atol=2e-4,
+    )
+
+
+def test_train_and_sample_end_to_end(harness, state, batch):
+    step = harness.make_train_step(donate=False)
+    s2, metrics = step(state, batch, jax.random.key(7))
+    assert np.isfinite(float(metrics["train/loss"]))
+    # params moved (gradients flow through the conditioned pass)
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, s2.params
+    )
+    assert max(jax.tree.leaves(moved)) > 0
+
+    res = harness.sample(state.params, batch, jax.random.key(8), n_steps=4,
+                         n_designs=2)
+    assert res.seq_idx.shape == (2 * B, L)
+    assert np.isfinite(np.asarray(res.translations)).all()
+    # determinism under the same key
+    res2 = harness.sample(state.params, batch, jax.random.key(8), n_steps=4,
+                          n_designs=2)
+    np.testing.assert_array_equal(np.asarray(res.seq_idx),
+                                  np.asarray(res2.seq_idx))
+
+
+def test_sc_inputs_rejected_when_off(batch):
+    h = DiffAb(tiny_config())
+    params = h.init(jax.random.key(1), batch).params
+    with pytest.raises(ValueError, match="self_conditioning is off"):
+        h.model.apply(
+            params, batch, batch.seq_idx, batch.translations,
+            batch.orientations, jnp.full((B,), 0.2),
+            sc_translations_x0=batch.translations,
+            sc_seq_probs=jnp.full((B, L, 21), 1 / 21.0),
+            sc_mask=jnp.ones((B,)),
+        )
+
+
+def test_scoring_works_with_sc_model(harness, state, batch):
+    """score_designs runs single-pass (flag 0) against an sc model — the
+    cold-start path the model trains for."""
+    designs = harness.sample(state.params, batch, jax.random.key(9),
+                             n_designs=2, n_steps=4)
+    sc = harness.score_designs(state.params, batch, designs,
+                               jax.random.key(10), t_grid=(1, 5), n_draws=1)
+    assert sc.score.shape == (2 * B,)
+    assert np.isfinite(np.asarray(sc.score)).all()
