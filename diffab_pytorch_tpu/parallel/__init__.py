@@ -12,5 +12,6 @@ from diffab_pytorch_tpu.parallel.dp import (
     replicate_batch,
     sample_fanout_sharded,
     sample_sharded,
+    score_fanout_sharded,
     shard_state,
 )

@@ -266,6 +266,60 @@ def sample_fanout_sharded(
     return jax.jit(mapped)(params, batch, key)
 
 
+def score_fanout_sharded(
+    harness: DiffAb,
+    params,
+    batch: ProteinBatch,
+    designs,
+    key: jax.Array,
+    mesh: Mesh,
+    **score_kwargs,
+):
+    """Pod-scale design scoring (sampling/scoring.py): shard the design
+    rows over dp, replicate the target batch and params, score each
+    device's local designs under shard_map (the Pallas kernel stays ON,
+    same as the samplers).
+
+    Accepts exactly what `sample_fanout_sharded` returns: global rows in
+    device-major blocks, each block design-major over the replicated
+    targets — sharding axis 0 into ndp chunks recovers every device's
+    local block, so scores line up row-for-row with the designs.  Each
+    device folds its dp index into the key (independent scoring noise);
+    numerics are pinned against a per-device host loop with the same
+    folds (tests/test_parallel.py)."""
+    from diffab_pytorch_tpu.sampling.scoring import DesignScores
+
+    ndp = mesh.shape[DP_AXIS]
+    bn = designs.seq_idx.shape[0]
+    if bn % (batch.batch_size * ndp):
+        raise ValueError(
+            f"design rows {bn} not divisible by targets*dp = "
+            f"{batch.batch_size * ndp}"
+        )
+
+    def per_device(params, batch, designs, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
+        return harness.score_designs(params, batch, designs, key,
+                                     **score_kwargs)
+
+    mapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DP_AXIS), P()),
+        out_specs=DesignScores(
+            score=P(DP_AXIS), seq_score=P(DP_AXIS),
+            translations_score=P(DP_AXIS), orientations_score=P(DP_AXIS),
+        ),
+        check_vma=False,
+    )
+    rep = replicated(mesh)
+    params = jax.device_put(params, rep)
+    batch = jax.device_put(batch, rep)
+    key = jax.device_put(key, rep)
+    designs = jax.device_put(designs, batch_sharding(mesh))
+    return jax.jit(mapped)(params, batch, designs, key)
+
+
 def replicate_batch(batch: ProteinBatch, n: int) -> ProteinBatch:
     """Tile a 1-complex batch into n rows (n independent designs)."""
     return jax.tree.map(lambda x: jnp.repeat(x, n, axis=0), batch)
