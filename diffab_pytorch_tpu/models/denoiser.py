@@ -132,6 +132,16 @@ class Denoiser(nn.Module):
                     orientations_t.astype(jnp.float32),
                     translations_t.astype(jnp.float32),
                 )
+                # Saturate the displacement: the implied x0_hat at high t
+                # divides by sqrt(abar_t) ~ 1e-3, so a cold model's
+                # estimate reaches O(1e3-1e4) normalized units — unbounded,
+                # that blows the fuse MLP up within the first few hundred
+                # steps (measured: loss NaN by step 600 of the first sc
+                # quality run).  tanh keeps the near-field (within ~half
+                # the bound) linear and turns "far away" into a direction;
+                # 10 units covers the real patch extent (|x| <~ 11, and
+                # displacements from x_t are smaller still).
+                sc_local = 10.0 * jnp.tanh(sc_local / 10.0)
                 sc_feats = jnp.concatenate(
                     [
                         sc_local * gate,

@@ -192,3 +192,27 @@ def test_scoring_works_with_sc_model(harness, state, batch):
                                jax.random.key(10), t_grid=(1, 5), n_draws=1)
     assert sc.score.shape == (2 * B,)
     assert np.isfinite(np.asarray(sc.score)).all()
+
+
+def test_huge_estimate_stays_finite(harness, state, batch):
+    """The implied x0_hat at high t is O(1/sqrt(abar)) — unbounded it NaN'd
+    training within 600 steps (quality run 2026-08-17).  The denoiser must
+    saturate the sc displacement: huge estimates give finite outputs and a
+    finite training loss."""
+    beta = jnp.full((B,), 0.999)
+    out = harness.model.apply(
+        state.params, batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta,
+        sc_translations_x0=batch.translations + 1e6,
+        sc_seq_probs=jnp.full((B, L, 21), 1 / 21.0),
+        sc_mask=jnp.ones((B,)),
+    )
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    # gradient through a full loss with the huge-estimate pass stays finite
+    loss, _ = harness.loss_fn(state.params, jax.random.key(11), batch)
+    g = jax.grad(lambda p: harness.loss_fn(p, jax.random.key(11), batch)[0])(
+        state.params
+    )
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
