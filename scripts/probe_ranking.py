@@ -1,0 +1,159 @@
+"""Probe the design-ranking scorer's knobs against a trained checkpoint.
+
+Loads a quality-run checkpoint (scripts/quality_run.py workdir), samples
+n designs per val target in the scatter-prone codesign ns=1.0 mode, and
+scores them under several scorer configurations — t-grid placement,
+number of draws, per-component weights — reporting Spearman rho and the
+RMSD of the top-1-by-score design vs the oracle best-of-n for each.
+
+Everything per (target, config) runs as ONE jitted program; the sampling
+pass is shared across configs (same designs, same RMSDs).
+
+Usage:
+  python scripts/probe_ranking.py --workdir runs/quality_combo12k
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default="runs/quality_combo12k")
+    p.add_argument("--split", default="h", choices=["h", "c"],
+                   help="h = held-out combos (val_combo), c = trained combos")
+    p.add_argument("--designs-per-target", type=int, default=8)
+    p.add_argument("--max-targets", type=int, default=24)
+    p.add_argument("--noise-scale", type=float, default=1.0)
+    p.add_argument("--cdrs", nargs="+", default=["H3"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--smoke", action="store_true", help="CPU + tiny preset")
+    args = p.parse_args(argv)
+
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffab_pytorch_tpu.config import default_config, tiny_config
+    from diffab_pytorch_tpu.data.dataset import (
+        COORD_SCALE, PatchDataset, assemble_batch,
+    )
+    from diffab_pytorch_tpu.evaluation import ca_rmsd, spearman_corr
+    from diffab_pytorch_tpu.train import DiffAb
+    from diffab_pytorch_tpu.train.checkpoint import restore_params
+
+    t0 = time.time()
+    log = lambda m: print(f"[rankprobe +{time.time()-t0:6.1f}s] {m}", flush=True)
+
+    cfg = tiny_config() if args.smoke else default_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model,
+            compute_dtype="float32" if args.smoke else "bfloat16",
+        )
+    )
+    harness = DiffAb(cfg)
+    T = cfg.diffusion.T
+    n = args.designs_per_target
+
+    paths = sorted(glob.glob(os.path.join(args.workdir, "npz",
+                                          f"{args.split}*.npz")))
+    if not paths:
+        print(f"no {args.split}*.npz under {args.workdir}/npz"); return 2
+    ds = PatchDataset(paths, cdrs_to_generate=args.cdrs)
+    take = np.linspace(0, len(ds) - 1,
+                       min(len(ds), args.max_targets)).astype(int)
+
+    one0, _ = assemble_batch([ds[0]], args.cdrs)
+    params, step = restore_params(
+        os.path.abspath(os.path.join(args.workdir, "checkpoints")),
+        harness.init(jax.random.key(0), one0).params,
+    )
+    log(f"restored checkpoint @ step {step}; {len(np.unique(take))} targets "
+        f"x {n} designs, ns={args.noise_scale}")
+
+    # scorer configurations under probe
+    lo = tuple(np.unique(np.round(np.linspace(1, T // 4, 8)).astype(int)))
+    hi = tuple(np.unique(np.round(np.linspace(3 * T // 4, T, 8)).astype(int)))
+    uni16 = tuple(np.unique(np.round(np.linspace(1, T, 16)).astype(int)))
+    configs = {
+        "default(8t x 2draw)": {},
+        "low-t(1..25)": dict(t_grid=lo),
+        "high-t(75..100)": dict(t_grid=hi),
+        "uniform16 x 1draw": dict(t_grid=uni16, n_draws=1),
+        "4 draws": dict(n_draws=4),
+        "translations-only": dict(seq_weight=0.0, orientations_weight=0.0),
+        "seq-only": dict(translations_weight=0.0, orientations_weight=0.0),
+        "orientations-only": dict(seq_weight=0.0, translations_weight=0.0),
+        "trans+orient": dict(seq_weight=0.0),
+    }
+
+    def _eval(params, one, rep, key):
+        res = harness.sample(params, one, key, n_designs=n,
+                             noise_scale=args.noise_scale)
+        gen = rep.generation_mask & rep.residue_mask
+        rmsd = ca_rmsd(res.translations, rep.translations, gen,
+                       scale=COORD_SCALE)
+        out = {"rmsd": rmsd}
+        for name, kw in configs.items():
+            sc = harness.score_designs(params, one, res,
+                                       jax.random.fold_in(key, 12345), **kw)
+            out[name] = sc.score
+        return out
+
+    eval_fn = jax.jit(_eval)
+
+    rows = []
+    for vi in np.unique(take):
+        raw = ds[int(vi)]
+        one, _ = assemble_batch([raw], args.cdrs)
+        rep, _ = assemble_batch([raw] * n, args.cdrs)
+        key = jax.random.fold_in(jax.random.key(args.seed + 7), vi)
+        rows.append(jax.device_get(eval_fn(params, one, rep, key)))
+    log(f"sampled+scored {len(rows)} targets")
+
+    report = {}
+    rmsds = np.stack([r["rmsd"] for r in rows])  # (targets, n)
+    oracle = float(rmsds.min(axis=1).mean())
+    for name in configs:
+        scores = np.stack([r[name] for r in rows])
+        rho = np.array([
+            float(spearman_corr(jnp.asarray(s), jnp.asarray(g)))
+            for s, g in zip(scores, rmsds)
+        ])
+        top1 = rmsds[np.arange(len(rmsds)), scores.argmin(axis=1)]
+        report[name] = {
+            "rho_mean": float(rho.mean()),
+            "top1_rmsd_mean": float(top1.mean()),
+            "top1_rmsd_median": float(np.median(top1)),
+        }
+        log(f"{name:24s} rho={rho.mean():+.3f} top1={top1.mean():.3f}A "
+            f"(median {np.median(top1):.3f})")
+    log(f"{'oracle best-of-n':24s} {oracle:.3f}A | unranked mean "
+        f"{rmsds.mean():.3f}A median {np.median(rmsds):.3f}A")
+    report["oracle_best_of_n"] = oracle
+    report["unranked_mean"] = float(rmsds.mean())
+    out = os.path.join(args.workdir, "rank_probe.json")
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=2)
+    log(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
