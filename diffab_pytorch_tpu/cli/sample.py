@@ -101,7 +101,18 @@ def main(argv=None) -> int:
         return 2
 
     batch, norm = assemble_batch([sample_dict], cdrs_to_generate=args.cdrs)
-    harness = DiffAb(tiny_config() if args.tiny else default_config())
+    cfg = tiny_config() if args.tiny else default_config()
+    # the checkpoint records its architecture (cli.train writes
+    # model_config.json): restore the exact tree shape — a checkpoint
+    # trained with e.g. self_conditioning has a wider fuse layer and would
+    # not fit the default template
+    saved_model = ckpt_lib.load_model_config(args.checkpoint_dir)
+    if saved_model is not None:
+        cfg = dataclasses.replace(cfg, model=saved_model)
+        print(f"[sample] using the checkpoint's recorded model config"
+              + (" (self-conditioning)" if saved_model.self_conditioning
+                 else ""))
+    harness = DiffAb(cfg)
     # params-only restore: sampling must not depend on the TrainConfig the
     # checkpoint was trained with (opt_state tree shape varies with it)
     template = harness.init(jax.random.key(0), batch).params

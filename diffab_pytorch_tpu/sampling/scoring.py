@@ -100,9 +100,19 @@ def score_designs(
     key:     scoring noise; folds per (t, draw).  Scores are deterministic
              given (params, batch, designs, key).
     t_grid:  timesteps of the Monte-Carlo grid (default: 8 evenly spaced
-             over [1, T]).  Low t dominates geometry discrimination (x_t
-             is nearly the design itself), high t sequence/context terms.
-    n_draws: independent noise draws per grid point.
+             over [1, T/4]).  Low t dominates discrimination — x_t is
+             nearly the design itself, so an implausible design cannot
+             hide behind the noise.  Measured on the trained 12k
+             checkpoint (scripts/probe_ranking.py, 24 val_combo targets
+             x 8 designs, scatter-prone ns=1.0 mode): t in [1, T/4] gives
+             Spearman rho 0.75 / top-1 RMSD 0.335 A vs 0.66 / 0.356 for
+             a uniform [1, T] grid and 0.20 / 4.7 for [3T/4, T]; the
+             translations term carries most of the signal (alone: 0.70),
+             seq/orientation terms alone discriminate poorly but do not
+             hurt.  For sequence-only (fix-structure) designs consider a
+             wider grid — the seq CE saturates at very low t.
+    n_draws: independent noise draws per grid point (2 by default;
+             4 measured rho 0.78 for 2x the cost).
 
     generate_structure / generate_sequence must match the sampling mode:
     a fixed modality was never generated, is identical across designs, and
@@ -148,7 +158,7 @@ def score_designs(
     T = sched.T
     if t_grid is None:
         t_grid = np.unique(
-            np.round(np.linspace(1, T, num=8)).astype(np.int64)
+            np.round(np.linspace(1, max(T // 4, 1), num=8)).astype(np.int64)
         )
     t_arr = np.asarray(
         [int(t) for t in t_grid for _ in range(max(1, int(n_draws)))],

@@ -8,13 +8,46 @@ the reference's hash-keyed .pt cache, so3.py:18-50)."""
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import os
 from typing import Optional
 
 import jax
 import orbax.checkpoint as ocp
 
+from diffab_pytorch_tpu.config import ModelConfig
 from diffab_pytorch_tpu.train.harness import TrainState
+
+_MODEL_CONFIG_FILE = "model_config.json"
+
+
+def save_model_config(directory: str, model_cfg: ModelConfig) -> None:
+    """Record the ARCHITECTURE next to the weights.  Inference entry points
+    (cli.sample, cli.evaluate, probe scripts) must rebuild the exact
+    parameter-tree shape; flags like self_conditioning or a non-default
+    width change it, and a user should not have to remember them."""
+    os.makedirs(os.path.abspath(directory), exist_ok=True)
+    with open(os.path.join(os.path.abspath(directory),
+                           _MODEL_CONFIG_FILE), "w") as fh:
+        json.dump(dataclasses.asdict(model_cfg), fh, indent=2)
+
+
+def load_model_config(directory: str) -> Optional[ModelConfig]:
+    """The ModelConfig recorded by save_model_config, or None when the
+    checkpoint predates it (callers fall back to flags/defaults).  Unknown
+    keys are ignored so configs from newer code still load."""
+    path = os.path.join(os.path.abspath(directory), _MODEL_CONFIG_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        raw = json.load(fh)
+    fields = {f.name for f in dataclasses.fields(ModelConfig)}
+    known = {k: v for k, v in raw.items() if k in fields}
+    known = {
+        k: tuple(v) if isinstance(v, list) else v for k, v in known.items()
+    }
+    return ModelConfig(**known)
 
 
 def _manager(directory: str, max_to_keep: int = 3) -> ocp.CheckpointManager:

@@ -55,12 +55,19 @@ def main(argv=None) -> int:
     )
     from diffab_pytorch_tpu.evaluation import ca_rmsd, spearman_corr
     from diffab_pytorch_tpu.train import DiffAb
-    from diffab_pytorch_tpu.train.checkpoint import restore_params
+    from diffab_pytorch_tpu.train.checkpoint import (
+        load_model_config, restore_params,
+    )
 
     t0 = time.time()
     log = lambda m: print(f"[rankprobe +{time.time()-t0:6.1f}s] {m}", flush=True)
 
     cfg = tiny_config() if args.smoke else default_config()
+    saved_model = load_model_config(
+        os.path.join(args.workdir, "checkpoints")
+    )
+    if saved_model is not None:
+        cfg = dataclasses.replace(cfg, model=saved_model)
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(
             cfg.model,
@@ -91,9 +98,11 @@ def main(argv=None) -> int:
     lo = tuple(np.unique(np.round(np.linspace(1, T // 4, 8)).astype(int)))
     hi = tuple(np.unique(np.round(np.linspace(3 * T // 4, T, 8)).astype(int)))
     uni16 = tuple(np.unique(np.round(np.linspace(1, T, 16)).astype(int)))
+    mid = tuple(np.unique(np.round(np.linspace(1, T // 2, 8)).astype(int)))
     configs = {
         "default(8t x 2draw)": {},
         "low-t(1..25)": dict(t_grid=lo),
+        "low-t(1..50)": dict(t_grid=mid),
         "high-t(75..100)": dict(t_grid=hi),
         "uniform16 x 1draw": dict(t_grid=uni16, n_draws=1),
         "4 draws": dict(n_draws=4),
@@ -101,6 +110,10 @@ def main(argv=None) -> int:
         "seq-only": dict(translations_weight=0.0, orientations_weight=0.0),
         "orientations-only": dict(seq_weight=0.0, translations_weight=0.0),
         "trans+orient": dict(seq_weight=0.0),
+        "low-t trans-only": dict(t_grid=lo, seq_weight=0.0,
+                                 orientations_weight=0.0),
+        "low-t trans+orient": dict(t_grid=lo, seq_weight=0.0),
+        "low-t x4 draws": dict(t_grid=lo, n_draws=4),
     }
 
     def _eval(params, one, rep, key):

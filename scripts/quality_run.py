@@ -388,6 +388,9 @@ def main(argv=None) -> int:
         f"({sps:.0f} samples/s incl. host input pipeline)")
 
     save_checkpoint(ckpt_dir, state)
+    from diffab_pytorch_tpu.train.checkpoint import save_model_config
+
+    save_model_config(ckpt_dir, cfg.model)
     log(f"checkpoint saved to {ckpt_dir} @ step {int(state.step)}")
 
     log("evaluating TRAINED model on both val splits")

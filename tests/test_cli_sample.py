@@ -218,3 +218,26 @@ def test_sample_cli_noise_and_clip_flag_parsing():
             else float(args.x0_clip)
         )
         assert mapped == want, raw
+
+
+@pytest.mark.slow
+def test_cli_sample_restores_sc_checkpoint(workdir):
+    """A self-conditioning checkpoint has a wider fuse layer; cli.sample
+    must rebuild it from the recorded model_config.json instead of the
+    default template."""
+    ckpt = workdir / "ckpt_sc"
+    rc = train_cli.main([
+        "--data-dir", str(workdir / "patches"),
+        "--tiny", "--self-conditioning", "--max-steps", "1", "--bsz", "2",
+        "--val-pct", "0", "--checkpoint-dir", str(ckpt),
+    ])
+    assert rc == 0
+    out = workdir / "designs_sc"
+    rc = sample_cli.main([
+        "--patch", str(workdir / "patches" / "p0.npz"),
+        "--checkpoint-dir", str(ckpt),
+        "--tiny", "-n", "2", "--cdrs", "H3", "--n-steps", "8",
+        "-o", str(out),
+    ])
+    assert rc == 0
+    assert (out / "design_0001.pdb").exists()

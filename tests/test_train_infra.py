@@ -257,3 +257,28 @@ def test_fit_device_pool(tmp_path):
     with pytest.raises(ValueError, match="device_pool"):
         fit(harness, ds, None, epochs=1, device_pool=True,
             train_step=lambda *a: None)
+
+
+def test_model_config_save_load_roundtrip(tmp_path):
+    import dataclasses as dc
+
+    from diffab_pytorch_tpu.config import tiny_config
+    from diffab_pytorch_tpu.train.checkpoint import (
+        load_model_config, save_model_config,
+    )
+
+    cfg = dc.replace(tiny_config().model, self_conditioning=True,
+                     compute_dtype="bfloat16")
+    save_model_config(str(tmp_path), cfg)
+    assert load_model_config(str(tmp_path)) == cfg
+    # absent file -> None (pre-feature checkpoints)
+    assert load_model_config(str(tmp_path / "nope")) is None
+    # unknown keys from newer code are ignored
+    import json, os
+    p = os.path.join(str(tmp_path), "model_config.json")
+    with open(p) as fh:
+        raw = json.load(fh)
+    raw["a_future_field"] = 42
+    with open(p, "w") as fh:
+        json.dump(raw, fh)
+    assert load_model_config(str(tmp_path)) == cfg
