@@ -362,7 +362,13 @@ def main(argv=None) -> int:
         args.bsz, n_rows=n_rows, shuffle=True, seed=args.seed
     )
     losses = []
-    state_good, step_good = state, 0
+    # Divergence guard: keep the last snapshot still NEAR the best loss
+    # seen.  "Last finite" is not enough — a late-training Adam spiral can
+    # leave the loss finite-but-exploded (measured: 0.52 -> 33,545 between
+    # two logging points of a 24k-step sc run) and a finite-only fallback
+    # would ship the exploded parameters.
+    state_good, step_good, best_loss = state, 0, float("inf")
+    near_best = lambda v: np.isfinite(v) and v <= 3.0 * best_loss + 1.0
     t_train0 = time.time()
     for i, idx in enumerate(idx_iter):
         if i >= args.steps:
@@ -375,12 +381,13 @@ def main(argv=None) -> int:
             }
             losses.append({"step": i, **terms})
             log(f"step {i}: " + " ".join(f"{k}={v}" for k, v in terms.items()))
-            if np.isfinite(terms["loss"]):
+            if near_best(terms["loss"]):
                 state_good, step_good = state, i
+                best_loss = min(best_loss, terms["loss"])
     final_loss = losses[-1]["loss"] if losses else float("nan")
-    if not np.isfinite(final_loss):
-        log(f"final loss non-finite; falling back to the last finite "
-            f"snapshot at step {step_good}")
+    if not near_best(final_loss):
+        log(f"final loss {final_loss} is non-finite or far above the best "
+            f"({best_loss}); falling back to the step-{step_good} snapshot")
         state = state_good
     train_wall = time.time() - t_train0
     sps = args.steps * args.bsz / train_wall
