@@ -68,6 +68,9 @@ def parse_args(argv=None):
                    help="Train with self-conditioning (feeds the previous "
                         "denoising estimate back in; ~1.3x step cost, "
                         "measured ~3x lower scatter — QUALITY.md)")
+    p.add_argument("--sc-geometry-only", action="store_true",
+                   help="Self-conditioning features exclude the predicted "
+                        "p(s_0) — the multi-loop recipe (QUALITY.md)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (MXU-native; params stay f32)")
     p.add_argument("--checkpoint-dir", default="checkpoints")
@@ -103,7 +106,10 @@ def build_config(args) -> DiffAbConfig:
         )
     if args.self_conditioning:
         cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, self_conditioning=True)
+            cfg, model=dataclasses.replace(
+                cfg.model, self_conditioning=True,
+                self_conditioning_sequence=not args.sc_geometry_only,
+            )
         )
     return cfg
 

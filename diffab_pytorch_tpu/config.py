@@ -70,6 +70,13 @@ class ModelConfig:
     # checkpoints are not interchangeable with the default tree (the
     # reference has no such mechanism; golden parity keeps the default).
     self_conditioning: bool = False
+    # Include the predicted p(s_0) among the sc features.  True helps the
+    # single-loop task; on the harder multi-loop corpus the sequence
+    # estimate acts as a self-copy shortcut — train seq-CE converges while
+    # held-out-combination AAR stalls at the memorizer ceiling (0.71 vs
+    # 0.99 without sc, QUALITY.md) — so multi-loop recipes should run
+    # geometry-only (False: features are the local displacement + flag).
+    self_conditioning_sequence: bool = True
 
     @property
     def dtype(self):

@@ -115,7 +115,7 @@ class Denoiser(nn.Module):
             # sqrt(abar) against a garbage eps_hat and is meaningless.
             from diffab_pytorch_tpu.models.ipa import frames_apply_inverse
 
-            K = cfg.aa_vocab_size
+            K = cfg.aa_vocab_size if cfg.self_conditioning_sequence else 0
             if sc_translations_x0 is None:
                 sc_feats = jnp.zeros((b, L, 3 + K + 1), dt)
             else:
@@ -142,14 +142,11 @@ class Denoiser(nn.Module):
                 # 10 units covers the real patch extent (|x| <~ 11, and
                 # displacements from x_t are smaller still).
                 sc_local = 10.0 * jnp.tanh(sc_local / 10.0)
-                sc_feats = jnp.concatenate(
-                    [
-                        sc_local * gate,
-                        sc_seq_probs.astype(jnp.float32) * gate,
-                        gate,
-                    ],
-                    axis=-1,
-                ).astype(dt)
+                pieces = [sc_local * gate]
+                if cfg.self_conditioning_sequence:
+                    pieces.append(sc_seq_probs.astype(jnp.float32) * gate)
+                pieces.append(gate)
+                sc_feats = jnp.concatenate(pieces, axis=-1).astype(dt)
             parts.append(sc_feats)
         res = jnp.concatenate(parts, axis=-1)
         res = nn.Dense(d, dtype=dt, name="fuse_0")(res)

@@ -71,6 +71,10 @@ def parse_args(argv=None):
     p.add_argument("--self-conditioning", action="store_true",
                    help="Train/sample with self-conditioning "
                         "(ModelConfig.self_conditioning; ~2x train step)")
+    p.add_argument("--sc-geometry-only", action="store_true",
+                   help="Self-conditioning features exclude the predicted "
+                        "p(s_0) (the multi-loop recipe; config.py "
+                        "self_conditioning_sequence)")
     p.add_argument("--smoke", action="store_true",
                    help="CPU backend, tiny preset, few combos, 60 steps")
     p.add_argument("--eval-only", action="store_true",
@@ -186,6 +190,7 @@ def main(argv=None) -> int:
             cfg.model,
             compute_dtype="float32" if args.smoke else "bfloat16",
             self_conditioning=args.self_conditioning,
+            self_conditioning_sequence=not args.sc_geometry_only,
         ),
         train=TrainConfig(
             batch_size=args.bsz, lr=args.lr, seed=args.seed,

@@ -216,3 +216,35 @@ def test_huge_estimate_stays_finite(harness, state, batch):
     )
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_geometry_only_variant(batch):
+    """self_conditioning_sequence=False drops the p(s_0) columns (the
+    multi-loop recipe): narrower fuse layer, flag gating still exact."""
+    cfg = sc_config()
+    cfg = dc.replace(cfg, model=dc.replace(
+        cfg.model, self_conditioning_sequence=False))
+    h = DiffAb(cfg)
+    state = h.init(jax.random.key(1), batch)
+    d = cfg.model.d_residue_emb
+    fuse0 = state.params["params"]["denoiser"]["fuse_0"]["kernel"]
+    assert fuse0.shape[0] == 2 * d + 3 + 1  # no p(s_0) columns
+
+    beta = jnp.full((B,), 0.2)
+    base = h.model.apply(state.params, batch, batch.seq_idx,
+                         batch.translations, batch.orientations, beta)
+    gated = h.model.apply(
+        state.params, batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta,
+        sc_translations_x0=batch.translations + 2.0,
+        sc_seq_probs=jnp.full((B, L, 21), 1 / 21.0),  # accepted, ignored
+        sc_mask=jnp.zeros((B,)),
+    )
+    np.testing.assert_allclose(np.asarray(base["translations_eps"]),
+                               np.asarray(gated["translations_eps"]),
+                               atol=1e-6)
+    # train + sample run end to end
+    s2, m = h.make_train_step(donate=False)(state, batch, jax.random.key(2))
+    assert np.isfinite(float(m["train/loss"]))
+    res = h.sample(state.params, batch, jax.random.key(3), n_steps=3)
+    assert np.isfinite(np.asarray(res.translations)).all()
