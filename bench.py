@@ -199,6 +199,20 @@ def main():
     dt = time.time() - t0
     samples_per_sec = N_DESIGNS * n_iters / dt
 
+    # secondary: the 25-step respaced chain in the same fan-out config —
+    # the measured-quality fast mode (QUALITY.md: same median RMSD as the
+    # full chain on the compositional corpus) at ~T/25 x the scan length
+    sample25_fn = jax.jit(
+        lambda p, b, k: harness.sample(p, b, k, n_designs=N_DESIGNS,
+                                       n_steps=25)
+    )
+    jax.block_until_ready(sample25_fn(state.params, one, jax.random.key(2)))
+    t0 = time.time()
+    for k in keys:
+        res25 = sample25_fn(state.params, one, k)
+    jax.block_until_ready(res25)
+    sps_25step = N_DESIGNS * n_iters / (time.time() - t0)
+
     # secondary: the round-1 comparable config (32 independent targets,
     # no fan-out sharing)
     BSZ32 = 32
@@ -254,6 +268,7 @@ def main():
         "baseline_torch_cpu_samples_per_sec": round(baseline, 4),
         "train_steps_per_sec_bsz16": round(train_steps_per_sec, 3),
         "n_designs_fanout": N_DESIGNS,
+        "samples_per_sec_25step_fanout": round(sps_25step, 3),
         "samples_per_sec_batch32_no_fanout": round(sps_batch32, 3),
         "compile_seconds": round(compile_s, 1),
         "device": str(jax.devices()[0]),

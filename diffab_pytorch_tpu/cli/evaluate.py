@@ -43,6 +43,13 @@ def parse_args(argv=None):
     p.add_argument("--cdrs", nargs="+", default=["H3"],
                    help="CDRs that were designed (must match cli.sample)")
     p.add_argument("--json", default=None, help="Also write metrics JSON here")
+    p.add_argument("--scores", default=None,
+                   help="scores.json written by `cli.sample --rank` "
+                        "(default: auto-detect next to the designs).  When "
+                        "present, each design row carries its model score "
+                        "and the aggregate reports how well the oracle-free "
+                        "ranking tracked ground truth (Spearman rho, "
+                        "top-1-by-score RMSD vs the best-of-n oracle).")
     return p.parse_args(argv)
 
 
@@ -154,6 +161,38 @@ def main(argv=None) -> int:
         sequence_diversity(np.stack(seqs), gen)
     ) if len(seqs) > 1 else 0.0
 
+    # model scores from `cli.sample --rank`: how well did the oracle-free
+    # ranking track ground truth on this target?
+    scores_path = args.scores
+    if scores_path is None and os.path.isdir(args.designs):
+        cand = os.path.join(args.designs, "scores.json")
+        scores_path = cand if os.path.exists(cand) else None
+    rank_agg = {}
+    if scores_path:
+        with open(scores_path) as fh:
+            score_map = json.load(fh)
+        matched = [
+            m for m in rows
+            if os.path.splitext(m["design"])[0] in score_map
+        ]
+        for m in matched:
+            m["model_score"] = float(
+                score_map[os.path.splitext(m["design"])[0]]["score"]
+            )
+        if len(matched) > 1:
+            from diffab_pytorch_tpu.evaluation import spearman_corr
+
+            sc = np.array([m["model_score"] for m in matched])
+            rm = np.array([m["ca_rmsd"] for m in matched])
+            rank_agg = {
+                "rank_spearman": float(spearman_corr(sc, rm)),
+                "ca_rmsd_top1_by_score": float(rm[sc.argmin()]),
+                "ca_rmsd_best_of_n": float(rm.min()),
+                "aar_top1_by_score": float(
+                    matched[int(sc.argmin())]["aar"]
+                ),
+            }
+
     print(f"{'design':<20s} {'AAR':>6s} {'RMSD(A)':>8s} {'alnRMSD':>8s} "
           f"{'valid':>6s}")
     for m in rows:
@@ -176,10 +215,15 @@ def main(argv=None) -> int:
         "valid_rate": float(np.mean([m["valid"] for m in rows])),
         "bond_viol_rate": float(np.mean([m["bond_viol"] > 0 for m in rows])),
         "clash_rate": float(np.mean([m["clash_count"] > 0 for m in rows])),
+        **rank_agg,
     }
     print(f"{'mean':<20s} {agg['aar_mean']:>6.3f} {agg['ca_rmsd_mean']:>8.3f} "
           f"{agg['ca_rmsd_aligned_mean']:>8.3f}   diversity={diversity:.3f} "
           f"valid={agg['valid_rate']:.2f}")
+    if rank_agg:
+        print(f"[evaluate] ranking: rho={rank_agg['rank_spearman']:+.2f}  "
+              f"top1-by-score {rank_agg['ca_rmsd_top1_by_score']:.3f} A "
+              f"vs oracle best-of-n {rank_agg['ca_rmsd_best_of_n']:.3f} A")
 
     if args.json:
         with open(args.json, "w") as fh:

@@ -154,7 +154,7 @@ def test_cli_evaluate_closes_the_loop(workdir, trained):
         "--checkpoint-dir", str(trained),
         "--tiny", "-n", "3", "--cdrs", "H3",
         "--t-restart", "10",  # shallow renoise: context-close designs
-        "-o", str(out), "-s", "11",
+        "-o", str(out), "-s", "11", "--rank",
     ])
     assert rc == 0
 
@@ -179,6 +179,14 @@ def test_cli_evaluate_closes_the_loop(workdir, trained):
     assert agg["ca_rmsd_aligned_mean"] < agg["ca_rmsd_mean"] + 1.0
     for row in report["designs"]:
         assert row["ca_rmsd"] >= 0.0
+    # scores.json was auto-detected: per-design model scores + the ranking
+    # report (how well the oracle-free score tracked ground truth)
+    assert all("model_score" in row for row in report["designs"])
+    assert -1.0 <= agg["rank_spearman"] <= 1.0
+    assert agg["ca_rmsd_best_of_n"] <= agg["ca_rmsd_top1_by_score"] + 1e-9
+    assert agg["ca_rmsd_top1_by_score"] <= max(
+        row["ca_rmsd"] for row in report["designs"]
+    )
 
 
 def test_cli_evaluate_rejects_mismatched_designs(tmp_path, workdir):
