@@ -71,6 +71,7 @@ def sample(
     orientation_noise_scale: float = 1.0,
     n_designs: int = 1,
     n_steps: int | None = None,
+    sc_t_max: int | None = None,
 ) -> SampleResult:
     """Run the full reverse loop.  jit-compatible (flags, t_start and
     n_designs are Python-static).
@@ -96,6 +97,15 @@ def sample(
                          >= t_start runs the full-length chain.
     return_trajectory:   also record per-step sequence and CA positions
                          (diffusion-path visualization / debugging).
+    sc_t_max:            with a self-conditioned model, feed the estimate
+                         only at steps t <= sc_t_max (None = every step).
+                         Both flag states are in the training
+                         distribution (the conditioned half of each batch
+                         is random), so this is a pure sampling-time
+                         knob: high-t steps run cold (where the estimate
+                         is noise anyway and where the multi-loop
+                         sequence shortcut lives, QUALITY.md), low-t
+                         steps keep the geometric benefit.
     x0_clip:             static thresholding of the implied clean
                          coordinates each reverse step (see
                          diffusion/coordinate.py reverse_step).  "auto"
@@ -196,6 +206,8 @@ def sample(
         t, s_t = t_pair
         if sc_on:
             (seq_t, x_t, r_t), (sc_x, sc_p, sc_flag) = carry
+            if sc_t_max is not None:
+                sc_flag = sc_flag * (t <= sc_t_max)
             sc_kwargs = dict(
                 sc_translations_x0=sc_x, sc_seq_probs=sc_p, sc_mask=sc_flag
             )

@@ -248,3 +248,19 @@ def test_geometry_only_variant(batch):
     assert np.isfinite(float(m["train/loss"]))
     res = h.sample(state.params, batch, jax.random.key(3), n_steps=3)
     assert np.isfinite(np.asarray(res.translations)).all()
+
+
+def test_sc_t_max_gating(harness, state, batch):
+    """sc_t_max >= T is identical to ungated; sc_t_max=0 (never condition)
+    differs from the conditioned chain with the same key."""
+    kw = dict(n_steps=4, n_designs=2)
+    full = harness.sample(state.params, batch, jax.random.key(12), **kw)
+    gated_all = harness.sample(state.params, batch, jax.random.key(12),
+                               sc_t_max=harness.sched.T, **kw)
+    np.testing.assert_array_equal(np.asarray(full.seq_idx),
+                                  np.asarray(gated_all.seq_idx))
+    np.testing.assert_array_equal(np.asarray(full.translations),
+                                  np.asarray(gated_all.translations))
+    cold = harness.sample(state.params, batch, jax.random.key(12),
+                          sc_t_max=0, **kw)
+    assert float(jnp.abs(cold.translations - full.translations).max()) > 0
