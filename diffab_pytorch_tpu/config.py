@@ -115,6 +115,13 @@ class TrainConfig:
     lr: float = 1e-4
     weight_decay: float = 0.0
     betas: Tuple[float, float] = (0.9, 0.999)
+    # Adam epsilon.  The reference/torch default is 1e-8; RAISING it is
+    # the principled counter to the late-training spiral (QUALITY.md
+    # defect #5): once a head converges its second moments go tiny and
+    # the next gradient burst is divided by ~sqrt(nu) ~ 0 — a larger eps
+    # floors that divisor, bounding the update at g/eps.  Self-conditioned
+    # multi-loop training at lr 6e-4 spirals deterministically with 1e-8.
+    adam_eps: float = 1e-8
     grad_clip_norm: float = 0.0  # 0 disables (ref train.py:102 is broken anyway)
     # D3PM hybrid loss (Austin et al. 2021): weight of the direct
     # cross-entropy on p_hat(s_0) added to the posterior KL.  The KL alone

@@ -105,10 +105,11 @@ class DiffAb:
         if t.weight_decay > 0:
             txs.append(
                 optax.adamw(lr, b1=t.betas[0], b2=t.betas[1],
-                            weight_decay=t.weight_decay)
+                            eps=t.adam_eps, weight_decay=t.weight_decay)
             )
         else:
-            txs.append(optax.adam(lr, b1=t.betas[0], b2=t.betas[1]))
+            txs.append(optax.adam(lr, b1=t.betas[0], b2=t.betas[1],
+                                  eps=t.adam_eps))
         return optax.chain(*txs)
 
     def init(self, key: jax.Array, sample_batch: ProteinBatch) -> TrainState:

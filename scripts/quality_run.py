@@ -59,6 +59,9 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("-b", "--bsz", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--adam-eps", type=float, default=1e-8,
+                   help="Raise (e.g. 1e-5) to damp the late-training "
+                        "spiral at high lr (config.py TrainConfig)")
     p.add_argument("--designs-per-target", type=int, default=8)
     p.add_argument("--t-restart", type=int, default=50)
     p.add_argument("--max-eval-targets", type=int, default=40,
@@ -194,7 +197,7 @@ def main(argv=None) -> int:
         ),
         train=TrainConfig(
             batch_size=args.bsz, lr=args.lr, seed=args.seed,
-            grad_clip_norm=1.0,
+            grad_clip_norm=1.0, adam_eps=args.adam_eps,
             # cosine decay over the whole run: the cure for the
             # late-training Adam spiral (config.py lr_decay_steps note)
             lr_warmup_steps=min(100, args.steps // 10),
