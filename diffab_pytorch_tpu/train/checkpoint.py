@@ -68,6 +68,17 @@ def save_checkpoint(directory: str, state: TrainState, *, wait: bool = True) -> 
     return step
 
 
+def prune_after(directory: str, step: int) -> None:
+    """Delete checkpoints NEWER than `step`.  Used by the trainer's
+    divergence fallback: a periodic checkpoint written inside the one
+    logging window where divergence is not yet visible would otherwise
+    outrank (by step number) the good snapshot saved after fallback."""
+    mgr = _manager(directory)
+    for s in list(mgr.all_steps()):
+        if s > step:
+            mgr.delete(s)
+
+
 def latest_step(directory: str) -> Optional[int]:
     if not os.path.isdir(directory):
         return None

@@ -92,6 +92,14 @@ def fit(
 
     steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
     t_last = time.time()
+    # Divergence guard (cheap: evaluated at logging points only, so no
+    # extra per-step device syncs).  A late-training spiral can leave the
+    # loss finite-but-exploded (measured 0.52 -> 33k between logging
+    # points, QUALITY.md); tracking only "last finite" would checkpoint
+    # the exploded parameters.  A snapshot is "good" while its loss stays
+    # within 3x of the best seen (+1 absolute, for near-zero losses).
+    state_good, step_good, best_loss = state, int(state.step), float("inf")
+    near_best = lambda v: np.isfinite(v) and v <= 3.0 * best_loss + 1.0
 
     def run_eval(params, key):
         if val_ds is None:
@@ -109,7 +117,7 @@ def fit(
             logger.log(int(state.step), agg)
 
     def handle(batch, key):
-        nonlocal state, t_last
+        nonlocal state, t_last, state_good, step_good, best_loss
         # the step folds (key, state.step) internally; passing the same base
         # key avoids per-step host key ops (expensive on remote backends)
         state, metrics = step_fn(state, batch, key)
@@ -120,8 +128,16 @@ def fit(
             metrics["steps_per_sec"] = cfg.log_every / max(now - t_last, 1e-9)
             t_last = now
             logger.log(step, metrics)
+            loss = float(metrics.get("train/loss", np.nan))
+            if near_best(loss):
+                state_good, step_good = state, step
+                best_loss = min(best_loss, loss)
         if checkpoint_dir and step % cfg.checkpoint_every == 0:
-            ckpt_lib.save_checkpoint(checkpoint_dir, state)
+            if step_good >= step - cfg.log_every:
+                ckpt_lib.save_checkpoint(checkpoint_dir, state)
+            else:
+                print(f"[trainer] step {step}: loss diverged from best "
+                      f"{best_loss:.4g}; not overwriting the checkpoint")
         if step % steps_per_epoch == 0:
             run_eval(state.params, key)
         return key
@@ -143,6 +159,17 @@ def fit(
                 break
             key = handle(batch, key)
 
+    if int(state.step) > step_good + cfg.log_every:
+        # the run ended away from the best-loss region: return (and save)
+        # the last good snapshot instead of the diverged parameters
+        print(f"[trainer] final state diverged (best {best_loss:.4g} at "
+              f"step {step_good}); falling back to that snapshot")
+        state = state_good
+        if checkpoint_dir:
+            # a periodic checkpoint may have landed inside the blind
+            # logging window right after the explosion; remove anything
+            # newer than the snapshot so restore picks the good one
+            ckpt_lib.prune_after(checkpoint_dir, step_good)
     if checkpoint_dir:
         ckpt_lib.save_checkpoint(checkpoint_dir, state)
     return state
