@@ -58,6 +58,14 @@ def parse_args(argv=None):
                         "reverse chain (1.0 exact DDPM; <1 trades design "
                         "diversity for geometric precision; 0 = "
                         "deterministic posterior-mean chain)")
+    p.add_argument("--orientation-reverse", choices=["renoise", "posterior"],
+                   default="renoise",
+                   help="Frame reverse kernel: 'renoise' (DiffAb-paper "
+                        "heuristic — full forward kernel at s on the "
+                        "predicted frames) or 'posterior' (rotational "
+                        "beta-tilde analogue — frame-memory chain with "
+                        "posterior-matched noise; see "
+                        "diffusion/orientation.py)")
     p.add_argument("--x0-clip", default="auto",
                    help="Static thresholding of the implied clean coords "
                         "each reverse step: 'auto' (bound from the context "
@@ -77,8 +85,10 @@ def parse_args(argv=None):
     p.add_argument("--rank", action="store_true",
                    help="Score every design with the model-based "
                         "likelihood ranking (sampling/scoring.py; no "
-                        "ground truth needed) — scores land in the FASTA "
-                        "headers and scores.json, best design first")
+                        "ground truth needed) — outputs stay in design-"
+                        "index order with score and rank annotated on "
+                        "each FASTA header / scores.json entry (rank 0 "
+                        "= best)")
     return p.parse_args(argv)
 
 
@@ -125,6 +135,7 @@ def main(argv=None) -> int:
         t_start=args.t_restart,
         n_steps=args.n_steps,
         noise_scale=args.noise_scale,
+        orientation_reverse=args.orientation_reverse,
         x0_clip=(
             None if str(args.x0_clip).lower() in ("none", "0")
             else "auto" if args.x0_clip == "auto"

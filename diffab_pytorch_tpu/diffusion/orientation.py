@@ -102,21 +102,75 @@ def reverse_step(
     generation_mask: jax.Array,
     noise_scale: float = 1.0,
     s: jax.Array | None = None,
+    mode: str = "renoise",
 ) -> jax.Array:
-    """One reverse step R_t -> R_s via the forward kernel at s (default
-    t-1) applied to the predicted clean frames — the DiffAb-paper reverse
-    semantics, which respace trivially: any s < t just renoises the
-    prediction to level s (few-step sampling).  sigma_0 = 0 so the final
-    step lands exactly on R0_hat (point-mass IGSO3 row — igso3.py
-    degenerate handling).  noise_scale < 1 is low-temperature sampling of
-    the frames (0 = deterministic geodesic step onto the scaled
-    prediction).
+    """One reverse step R_t -> R_s.  Two modes:
+
+    mode="renoise" (the DiffAb-paper heuristic, the reference has no
+    implementation to compare — diffab_pytorch.py:770-776 is an empty
+    stub): apply the forward kernel at s to the predicted clean frames —
+    R_s = scale_rot(R0_hat, sqrt(abar_s)) @ IGSO3(sigma_s).  Respaces
+    trivially (any s < t just renoises the prediction to level s), but
+    draws the FULL forward marginal sigma_s = sqrt(1 - abar_s) every step
+    and discards R_t entirely: the frame chain has no memory, and at
+    mid-t the injected angle is far larger than the exact posterior's
+    would be.
+
+    mode="posterior" (the rotational analogue of the DDPM beta-tilde
+    posterior, round-3 — addressing the over-noising): transplant the
+    Gaussian posterior q(x_s | x_t, x0_hat), whose mean is the convex
+    combination  w0 * sqrt(abar_s) x0_hat + wt * x_t / sqrt(alpha_ts)
+    with  wt = alpha_ts (1 - abar_s) / (1 - abar_t),  w0 = 1 - wt,
+    and whose std is  sigma_tilde = sqrt((1 - abar_s) beta_ts /
+    (1 - abar_t)),  onto SO(3):
+
+      A   = scale_rot(R0_hat, sqrt(abar_s))        shrunk prediction
+      B   = scale_rot(R_t, 1 / sqrt(alpha_ts))     R_t unshrunk to level s
+      M   = A @ scale_rot(A^T B, wt)               geodesic interpolation
+      R_s = M @ IGSO3(sigma_tilde)                 continuous-sigma sample
+
+    At mid-t sigma_tilde ~ sqrt(beta_t / (1 - abar_t)) * sigma_s — a
+    3-6x smaller injected angle than renoise — and the chain keeps
+    memory of R_t.  At s = 0: wt = 0, sigma_tilde = 0, so the step lands
+    exactly on R0_hat (same terminal behavior as renoise).  Near t = T
+    beta_ts -> 1 makes 1/sqrt(alpha_ts) large and B ill-defined, but wt
+    -> 0 there, so the garbage contribution is weighted out.
+
+    noise_scale < 1 scales the sampled noise angle in both modes
+    (0 = deterministic geodesic step).
     """
     if s is None:
         s = t - 1
-    r_prev = _apply_forward_kernel(
-        key, tables, orientations_t0_hat, s, noise_scale=noise_scale
-    )
+    if mode == "renoise":
+        r_prev = _apply_forward_kernel(
+            key, tables, orientations_t0_hat, s, noise_scale=noise_scale
+        )
+    elif mode == "posterior":
+        sched = tables.sched
+        abar_t = sched.alpha_bar[t]
+        abar_s = sched.alpha_bar[s]
+        alpha_ts = abar_t / abar_s
+        beta_ts = 1.0 - alpha_ts
+        one_m_t = jnp.maximum(1.0 - abar_t, 1e-12)
+        one_m_s = 1.0 - abar_s
+        w_t = alpha_ts * one_m_s / one_m_t  # (b,)
+        sigma_tilde = jnp.sqrt(jnp.maximum(one_m_s * beta_ts / one_m_t, 0.0))
+
+        a = so3.scale_rot(orientations_t0_hat, jnp.sqrt(abar_s))
+        b_pt = so3.scale_rot(
+            orientations_t, 1.0 / jnp.sqrt(jnp.maximum(alpha_ts, 1e-6))
+        )
+        rel = so3.compose(jnp.swapaxes(a, -1, -2), b_pt)
+        mean = so3.compose(a, so3.scale_rot(rel, w_t))
+
+        n_residues = orientations_t.shape[-3]
+        rotvec = igso3_lib.sample_axis_angle_continuous(
+            key, tables.igso3, sigma_tilde, (n_residues,)
+        )
+        noise = so3.vector_to_rotation_matrix(noise_scale * rotvec)
+        r_prev = so3.compose(mean, noise)
+    else:
+        raise ValueError(f"unknown orientation reverse mode: {mode!r}")
     return jnp.where(generation_mask[..., None, None], r_prev, orientations_t)
 
 

@@ -191,6 +191,79 @@ def sample_angle(
     return jnp.where(use_hist, theta_hist, theta_gauss)
 
 
+def sample_angle_continuous(
+    key: jax.Array,
+    table: IGSO3Table,
+    sigma: jax.Array,
+    sample_shape: tuple[int, ...],
+    sigma_threshold: float = DEFAULT_SIGMA_THRESHOLD,
+) -> jax.Array:
+    """Sample rotation angles for ARBITRARY sigma values (not just the
+    table's grid rows).
+
+    Needed by the posterior-variance orientation reverse step
+    (diffusion/orientation.py): the rotational beta-tilde analogue
+    sigma_tilde(t, s) falls between schedule sigmas.  For
+    sigma >= sigma_threshold the folded-Gaussian branch is EXACT at the
+    requested sigma (no table involved); below it, theta is drawn from the
+    piecewise-linear inverse CDFs of the two bracketing table rows at the
+    same quantile and lerped by sigma — monotone in sigma, so the
+    interpolated quantile function stays a valid quantile function.
+    Requires table.sigmas sorted ascending (true for schedule tables:
+    sqrt(1 - abar_t) increases with t)."""
+    k_bin, k_gauss = jax.random.split(key, 2)
+    out_shape = tuple(sigma.shape) + tuple(sample_shape)
+    expand = tuple(sigma.shape) + (1,) * len(sample_shape)
+
+    srt = table.sigmas
+    n_rows = srt.shape[0]
+    hi = jnp.clip(jnp.searchsorted(srt, sigma), 1, n_rows - 1)
+    lo = hi - 1
+    w = (sigma - srt[lo]) / jnp.maximum(srt[hi] - srt[lo], 1e-12)
+    w = jnp.clip(w, 0.0, 1.0).reshape(expand)
+
+    n_q = table.inv_cdf.shape[-1]
+    u = jax.random.uniform(k_bin, out_shape, dtype=table.inv_cdf.dtype)
+    pos = u * (n_q - 1)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_q - 2)
+    frac = (pos - i0.astype(pos.dtype))[..., None]
+
+    def row_theta(idx):
+        rows = table.inv_cdf[idx].reshape(
+            tuple(sigma.shape) + (1,) * len(sample_shape) + (n_q,)
+        )
+        t0 = jnp.take_along_axis(rows, i0[..., None], axis=-1)
+        t1 = jnp.take_along_axis(rows, (i0 + 1)[..., None], axis=-1)
+        return (t0 * (1.0 - frac) + t1 * frac)[..., 0]
+
+    theta_hist = (1.0 - w) * row_theta(lo) + w * row_theta(hi)
+
+    sig = sigma.reshape(expand).astype(table.sigmas.dtype)
+    eps = jax.random.normal(k_gauss, out_shape, dtype=table.sigmas.dtype)
+    theta_gauss = jnp.mod(2.0 * sig + sig * eps, jnp.pi)
+
+    return jnp.where(sig < sigma_threshold, theta_hist, theta_gauss)
+
+
+def sample_axis_angle_continuous(
+    key: jax.Array,
+    table: IGSO3Table,
+    sigma: jax.Array,
+    sample_shape: tuple[int, ...],
+    sigma_threshold: float = DEFAULT_SIGMA_THRESHOLD,
+) -> jax.Array:
+    """Axis-angle IGSO3(I, sigma) samples at arbitrary sigma (see
+    sample_angle_continuous).  Returns sigma.shape + sample_shape + (3,)."""
+    k_axis, k_theta = jax.random.split(key)
+    out_shape = tuple(sigma.shape) + tuple(sample_shape)
+    axis = jax.random.normal(k_axis, out_shape + (3,), dtype=table.sigmas.dtype)
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    theta = sample_angle_continuous(
+        k_theta, table, sigma, sample_shape, sigma_threshold=sigma_threshold
+    )
+    return axis * theta[..., None]
+
+
 def sample_axis_angle(
     key: jax.Array,
     table: IGSO3Table,

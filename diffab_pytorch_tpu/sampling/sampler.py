@@ -69,6 +69,7 @@ def sample(
     x0_clip: object = "auto",
     noise_scale: float = 1.0,
     orientation_noise_scale: float = 1.0,
+    orientation_reverse: str = "renoise",
     n_designs: int = 1,
     n_steps: int | None = None,
     sc_t_max: int | None = None,
@@ -106,6 +107,13 @@ def sample(
                          is noise anyway and where the multi-loop
                          sequence shortcut lives, QUALITY.md), low-t
                          steps keep the geometric benefit.
+    orientation_reverse: "renoise" (default; the DiffAb-paper heuristic:
+                         full forward kernel at s on the predicted R0) or
+                         "posterior" (the rotational beta-tilde analogue:
+                         geodesic mean interpolation + posterior-matched
+                         sigma_tilde noise — see diffusion/orientation.py
+                         reverse_step; chain keeps frame memory, 3-6x
+                         smaller injected angle at mid-t).
     x0_clip:             static thresholding of the implied clean
                          coordinates each reverse step (see
                          diffusion/coordinate.py reverse_step).  "auto"
@@ -246,6 +254,7 @@ def sample(
         r_next = orientation.reverse_step(
             k3, tables, r_t, denoised["orientations_t0"], tvec, struct_gen,
             noise_scale=orientation_noise_scale, s=svec,
+            mode=orientation_reverse,
         )
         ys = (seq_next, x_next, r_next) if return_trajectory else None
         state_next = (seq_next, x_next, r_next)

@@ -88,7 +88,16 @@ def latest_step(directory: str) -> Optional[int]:
 def restore_checkpoint(
     directory: str, template: TrainState, step: Optional[int] = None
 ) -> TrainState:
-    """Restore into the structure of `template` (an initialized TrainState)."""
+    """Restore into the structure AND placement of `template`.
+
+    The template's shardings are honored leaf-for-leaf: restoring into a
+    mesh-sharded TrainState (e.g. `parallel.shard_state(state, mesh)`)
+    yields arrays already laid out with those NamedShardings — orbax
+    reshards at load time, so a checkpoint written replicated/single-device
+    restores directly onto a (dp, tp) mesh and vice versa, with no
+    gather-to-host round trip.  Pinned by
+    tests/test_parallel.py::test_checkpoint_restore_sharded and exercised
+    multi-device by __graft_entry__.dryrun_multichip."""
     mgr = _manager(directory)
     step = mgr.latest_step() if step is None else step
     if step is None:

@@ -186,13 +186,55 @@ class DiffAb:
         t = jax.random.randint(k_t, (b,), 1, self.config.diffusion.T + 1)
         noised = self.add_noise(k_noise, batch, t)
 
-        sc_kwargs = {}
         if self.config.model.self_conditioning:
             # Self-conditioning (config.py): a stop-gradient first pass
             # supplies the clean-state estimate for a random half of the
             # samples — the model learns BOTH the cold start (sampling
             # step T) and the conditioned steps (all later ones).
-            first = self.model.apply(
+            # The context/pair encoding is identical between the two
+            # passes, so encode ONCE (and hoist the pair-bias logits) and
+            # run only the denoiser twice — mirroring the sampler's reuse.
+            # Gradients are unchanged: the first pass contributes none
+            # (its outputs pass through stop_gradient), and the shared
+            # encoding back-props through the second pass exactly as the
+            # full forward did.
+            from diffab_pytorch_tpu.models.ipa import precompute_pair_biases
+
+            res_emb, pair_emb = self.model.apply(
+                params, batch, method="encode_context"
+            )
+            pair_biases = precompute_pair_biases(
+                params["params"]["denoiser"]["ipa"], pair_emb
+            )
+
+            def denoise(**sc_kwargs):
+                return self.model.apply(
+                    params,
+                    noised.seq_idx_t,
+                    noised.translations_t,
+                    noised.orientations_t,
+                    res_emb,
+                    pair_emb,
+                    noised.beta,
+                    batch.generation_mask,
+                    batch.residue_mask,
+                    pair_biases=pair_biases,
+                    method="denoise",
+                    **sc_kwargs,
+                )
+
+            first = denoise()
+            x0_hat = coordinate.predicted_x0(
+                self.sched, noised.translations_t,
+                first["translations_eps"], t,
+            )
+            denoised = denoise(
+                sc_translations_x0=jax.lax.stop_gradient(x0_hat),
+                sc_seq_probs=jax.lax.stop_gradient(first["seq_posterior"]),
+                sc_mask=jax.random.bernoulli(k_sc, 0.5, (b,)),
+            )
+        else:
+            denoised = self.model.apply(
                 params,
                 batch,
                 noised.seq_idx_t,
@@ -200,25 +242,6 @@ class DiffAb:
                 noised.orientations_t,
                 noised.beta,
             )
-            x0_hat = coordinate.predicted_x0(
-                self.sched, noised.translations_t,
-                first["translations_eps"], t,
-            )
-            sc_kwargs = dict(
-                sc_translations_x0=jax.lax.stop_gradient(x0_hat),
-                sc_seq_probs=jax.lax.stop_gradient(first["seq_posterior"]),
-                sc_mask=jax.random.bernoulli(k_sc, 0.5, (b,)),
-            )
-
-        denoised = self.model.apply(
-            params,
-            batch,
-            noised.seq_idx_t,
-            noised.translations_t,
-            noised.orientations_t,
-            noised.beta,
-            **sc_kwargs,
-        )
         # The head predicts p_hat(s_0); the KL's predicted distribution is
         # the derived posterior q(s_{t-1}|s_t, p_hat(s_0)) — the SAME
         # transform the sampler draws from, so train and sample semantics

@@ -92,13 +92,26 @@ def fit(
 
     steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
     t_last = time.time()
-    # Divergence guard (cheap: evaluated at logging points only, so no
-    # extra per-step device syncs).  A late-training spiral can leave the
-    # loss finite-but-exploded (measured 0.52 -> 33k between logging
-    # points, QUALITY.md); tracking only "last finite" would checkpoint
-    # the exploded parameters.  A snapshot is "good" while its loss stays
-    # within 3x of the best seen (+1 absolute, for near-zero losses).
-    state_good, step_good, best_loss = state, int(state.step), float("inf")
+    # Divergence guard (evaluated at logging points only, so no extra
+    # per-step device syncs).  A late-training spiral can leave the loss
+    # finite-but-exploded (measured 0.52 -> 33k between logging points,
+    # QUALITY.md); tracking only "last finite" would checkpoint the
+    # exploded parameters.  A loss is "good" while it stays within 3x of
+    # the best seen (+1 absolute, for near-zero losses).
+    #
+    # Two constraints shape the snapshot mechanics:
+    #  * the default train step DONATES its input state, so holding a
+    #    device reference across the next step would hold deleted buffers
+    #    — snapshots are pulled to host with device_get;
+    #  * train/loss is computed on the PRE-update params (harness
+    #    train_step_impl), so the loss logged at step N says nothing about
+    #    update N itself.  A snapshot taken at step N is therefore only
+    #    PENDING until the NEXT logging window's loss (computed on params
+    #    that include update N) also passes — a gradient burst landing
+    #    exactly on a logging step can never be promoted to "good".
+    state_good, step_good = jax.device_get(state), int(state.step)
+    best_loss, last_ok_step = float("inf"), step_good
+    pending = None  # (host_state, step) awaiting next-window validation
     near_best = lambda v: np.isfinite(v) and v <= 3.0 * best_loss + 1.0
 
     def run_eval(params, key):
@@ -118,6 +131,7 @@ def fit(
 
     def handle(batch, key):
         nonlocal state, t_last, state_good, step_good, best_loss
+        nonlocal last_ok_step, pending
         # the step folds (key, state.step) internally; passing the same base
         # key avoids per-step host key ops (expensive on remote backends)
         state, metrics = step_fn(state, batch, key)
@@ -130,10 +144,16 @@ def fit(
             logger.log(step, metrics)
             loss = float(metrics.get("train/loss", np.nan))
             if near_best(loss):
-                state_good, step_good = state, step
                 best_loss = min(best_loss, loss)
+                last_ok_step = step
+                if pending is not None:
+                    # a later window validated the pending snapshot
+                    state_good, step_good = pending
+                pending = (jax.device_get(state), step)
+            else:
+                pending = None  # the window after the snapshot went bad
         if checkpoint_dir and step % cfg.checkpoint_every == 0:
-            if step_good >= step - cfg.log_every:
+            if last_ok_step >= step - cfg.log_every:
                 ckpt_lib.save_checkpoint(checkpoint_dir, state)
             else:
                 print(f"[trainer] step {step}: loss diverged from best "
@@ -159,12 +179,14 @@ def fit(
                 break
             key = handle(batch, key)
 
-    if int(state.step) > step_good + cfg.log_every:
+    if int(state.step) > last_ok_step + cfg.log_every:
         # the run ended away from the best-loss region: return (and save)
-        # the last good snapshot instead of the diverged parameters
-        print(f"[trainer] final state diverged (best {best_loss:.4g} at "
-              f"step {step_good}); falling back to that snapshot")
-        state = state_good
+        # the last VALIDATED snapshot instead of the diverged parameters
+        # (pending is intentionally not used here — its validating window
+        # never arrived, so it may already hold the first spiraled update)
+        print(f"[trainer] final state diverged (best {best_loss:.4g}, "
+              f"validated snapshot at step {step_good}); falling back")
+        state = jax.device_put(state_good)
         if checkpoint_dir:
             # a periodic checkpoint may have landed inside the blind
             # logging window right after the explosion; remove anything

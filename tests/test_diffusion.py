@@ -282,6 +282,97 @@ class TestOrientationDiffuser:
         dist = jnp.linalg.norm(so3.rotation_matrix_to_vector(rel), axis=-1)
         assert float(dist.max()) < 2e-3
 
+    # ---- mode="posterior": the rotational beta-tilde analogue (round 3) --
+
+    def test_posterior_reverse_final_step_lands_on_prediction(self):
+        """s=0: w_t = 0 and sigma_tilde = 0, so the posterior step lands on
+        R0_hat exactly like the renoise mode's sigma_0 = 0 terminal."""
+        from diffab_pytorch_tpu.diffusion import orientation
+
+        r0_hat = so3.uniform(jax.random.key(20), (4, L))
+        r1 = so3.uniform(jax.random.key(21), (4, L))
+        gen = jnp.ones((4, L), bool)
+        r_prev = orientation.reverse_step(
+            jax.random.key(22), self.diffuser.tables, r1, r0_hat,
+            jnp.ones((4,), jnp.int32), gen, mode="posterior",
+        )
+        rel = jnp.einsum("...ji,...jk->...ik", r_prev, r0_hat)
+        dist = jnp.linalg.norm(so3.rotation_matrix_to_vector(rel), axis=-1)
+        assert float(dist.max()) < 2e-3
+
+    def test_posterior_reverse_with_oracle_r0_contracts(self):
+        """The full posterior-mode chain with oracle R0 converges to R0 from
+        uniform R_T, like the renoise chain."""
+        from diffab_pytorch_tpu.diffusion import orientation
+
+        tables = self.diffuser.tables
+        r0 = so3.uniform(jax.random.key(23), (4, 32))
+        gen = jnp.ones((4, 32), bool)
+        r_t = orientation.sample_prior(jax.random.key(24), r0, gen)
+
+        def body(r_t, t):
+            key = jax.random.fold_in(jax.random.key(25), t)
+            return orientation.reverse_step(
+                key, tables, r_t, r0, jnp.full((4,), t), gen,
+                mode="posterior",
+            ), None
+
+        r_rec, _ = jax.lax.scan(body, r_t, jnp.arange(T, 0, -1))
+        rel = jnp.einsum("...ji,...jk->...ik", r_rec, r0)
+        dist = jnp.linalg.norm(so3.rotation_matrix_to_vector(rel), axis=-1)
+        assert float(dist.max()) < 2e-3
+
+    def test_posterior_reverse_memory_and_variance(self):
+        """At mid-t the posterior step (a) keeps memory of R_t — its output
+        correlates with R_t where the renoise mode's is independent of it —
+        and (b) injects a much smaller noise angle (sigma_tilde << sigma_s),
+        the measured over-noising the mode exists to fix."""
+        from diffab_pytorch_tpu.diffusion import orientation
+
+        tables = self.diffuser.tables
+        n = 256
+        r0 = so3.uniform(jax.random.key(26), (1, n))
+        gen = jnp.ones((1, n), bool)
+        t = jnp.full((1,), 60, jnp.int32)
+        r_t = orientation.diffuse_from_t0(jax.random.key(27), tables, r0, t, gen)
+
+        def geo(a, b):
+            rel = jnp.einsum("...ji,...jk->...ik", a, b)
+            return jnp.linalg.norm(so3.rotation_matrix_to_vector(rel), axis=-1)
+
+        out = {}
+        for mode in ("renoise", "posterior"):
+            # noise_scale=0 isolates the conditional mean; the full step's
+            # deviation from it is the injected noise angle
+            mean = orientation.reverse_step(
+                jax.random.key(28), tables, r_t, r0, t, gen,
+                noise_scale=0.0, mode=mode,
+            )
+            step = orientation.reverse_step(
+                jax.random.key(28), tables, r_t, r0, t, gen, mode=mode
+            )
+            out[mode] = {
+                "noise_angle": float(geo(step, mean).mean()),
+                "dist_to_rt": float(geo(mean, r_t).mean()),
+            }
+        # (b) the injected angle is several-fold smaller
+        assert out["posterior"]["noise_angle"] < 0.5 * out["renoise"]["noise_angle"]
+        # (a) the posterior mean is pulled toward R_t; the renoise mean
+        # ignores R_t entirely (it is scale_rot(R0, sqrt(abar_s)))
+        assert out["posterior"]["dist_to_rt"] < out["renoise"]["dist_to_rt"]
+
+    def test_posterior_reverse_unknown_mode_raises(self):
+        from diffab_pytorch_tpu.diffusion import orientation
+
+        with np.testing.assert_raises(ValueError):
+            orientation.reverse_step(
+                jax.random.key(0), self.diffuser.tables,
+                so3.uniform(jax.random.key(1), (1, 4)),
+                so3.uniform(jax.random.key(2), (1, 4)),
+                jnp.ones((1,), jnp.int32), jnp.ones((1, 4), bool),
+                mode="nope",
+            )
+
 
 def test_all_diffusers_jittable_together():
     """The three forward processes compose inside one jit (the _add_noise

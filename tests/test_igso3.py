@@ -99,3 +99,58 @@ def test_sampler_is_jittable(table):
     )
     out = f(jax.random.key(4), jnp.array([0, 1, 2]))
     assert out.shape == (3, 16, 3)
+
+
+def test_sample_angle_continuous_matches_grid_rows(table):
+    """At sigma values that sit exactly on table rows, the continuous
+    sampler reproduces the row sampler's distribution (both branches)."""
+    for idx in [2, 5]:  # histogram (0.05) and Gaussian (0.5) branches
+        sig = jnp.array([float(table.sigmas[idx])])
+        a = igso3.sample_angle(jax.random.key(5), table, jnp.array([idx]), (20000,))[0]
+        b = igso3.sample_angle_continuous(jax.random.key(6), table, sig, (20000,))[0]
+        assert abs(float(a.mean()) - float(b.mean())) < 0.02
+        assert abs(float(a.std()) - float(b.std())) < 0.02
+
+
+def test_sample_angle_continuous_between_rows(table):
+    """Between-row sigmas give means between the bracketing rows' means,
+    monotone in sigma (histogram branch)."""
+    means = []
+    for sig in [0.05, 0.06, 0.07, 0.08, 0.09]:
+        th = igso3.sample_angle_continuous(
+            jax.random.key(7), table, jnp.array([sig]), (20000,)
+        )[0]
+        means.append(float(th.mean()))
+    assert all(m1 < m2 for m1, m2 in zip(means, means[1:]))
+    lo = float(igso3.sample_angle(jax.random.key(8), table, jnp.array([2]), (20000,)).mean())
+    hi = float(igso3.sample_angle(jax.random.key(9), table, jnp.array([3]), (20000,)).mean())
+    assert lo - 0.02 < means[1] < hi + 0.02
+
+
+def test_sample_angle_continuous_gaussian_branch_exact(table):
+    """sigma >= threshold uses the exact folded Gaussian at the REQUESTED
+    sigma, not a quantized table row."""
+    sig = 0.37  # far from any table row
+    th = igso3.sample_angle_continuous(
+        jax.random.key(10), table, jnp.array([sig]), (40000,)
+    )[0]
+    # N(2 sigma, sigma^2) mod pi: the ~2% of mass below 0 wraps to near
+    # pi (reference so3.py:86-96 semantics), which inflates the mean by
+    # ~0.07 and the median by ~0.02.  The bracketing table rows (0.2 and
+    # 0.5) would put the median at ~0.4 / ~1.0, so a 0.03 tolerance still
+    # pins that the REQUESTED sigma was used, not a quantized row.
+    assert abs(float(jnp.median(th)) - 2 * sig) < 0.03
+    assert abs(float(th.mean()) - 2 * sig) < 0.1
+
+
+def test_sample_axis_angle_continuous_jittable(table):
+    f = jax.jit(
+        lambda key, sig: igso3.sample_axis_angle_continuous(key, table, sig, (16,))
+    )
+    out = f(jax.random.key(11), jnp.array([0.0, 0.05, 0.7]))
+    assert out.shape == (3, 16, 3)
+    r = so3.vector_to_rotation_matrix(out)
+    prod = jnp.einsum("...ij,...jk->...ik", jnp.swapaxes(r, -1, -2), r)
+    np.testing.assert_allclose(prod, jnp.broadcast_to(jnp.eye(3), prod.shape), atol=1e-4)
+    # sigma=0 samples land inside the point-mass bin (width pi/n_bins)
+    assert float(jnp.linalg.norm(out[0], axis=-1).max()) < np.pi / table.n_bins + 1e-6

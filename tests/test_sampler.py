@@ -68,6 +68,24 @@ def test_fix_sequence_mode(harness, batch, params):
     assert float(jnp.abs(res.translations[gen] - batch.translations[gen]).max()) > 0.01
 
 
+def test_orientation_posterior_mode(harness, batch, params):
+    """orientation_reverse='posterior' (the rotational beta-tilde analogue)
+    runs the full chain, clamps context, and emits valid rotations."""
+    res = harness.sample(
+        params, batch, jax.random.key(17), orientation_reverse="posterior"
+    )
+    ctx = ~batch.generation_mask
+    np.testing.assert_allclose(
+        res.orientations[ctx], batch.orientations[ctx], atol=1e-6
+    )
+    prod = jnp.einsum("...ij,...ik->...jk", res.orientations, res.orientations)
+    np.testing.assert_allclose(
+        prod, jnp.broadcast_to(jnp.eye(3), prod.shape), atol=1e-3
+    )
+    gen = batch.generation_mask
+    assert float(jnp.abs(res.translations[gen] - batch.translations[gen]).max()) > 0.01
+
+
 def test_fix_structure_mode(harness, batch, params):
     res = harness.sample(
         params, batch, jax.random.key(4), generate_structure=False

@@ -288,7 +288,11 @@ def test_fit_divergence_guard(tmp_path):
     """A finite-but-exploded loss after convergence must not be shipped:
     fit falls back to the best-loss snapshot and refuses to overwrite the
     checkpoint with diverged parameters (QUALITY.md: measured spiral
-    0.52 -> 33k between logging points)."""
+    0.52 -> 33k between logging points).
+
+    Uses the DEFAULT donated train step: the guard must snapshot to host
+    (a device reference would be deleted by the next step's donation) —
+    regression test for the round-2 advisor finding."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -317,7 +321,7 @@ def test_fit_divergence_guard(tmp_path):
                           seed=0),
     )
     harness = DiffAb(cfg)
-    real_step = harness.make_train_step(donate=False)
+    real_step = harness.make_train_step()  # donate=True (the default)
 
     def spiral_step(state, batch, key):
         state, metrics = real_step(state, batch, key)
@@ -337,8 +341,13 @@ def test_fit_divergence_guard(tmp_path):
         checkpoint_dir=str(tmp_path / "ck"),
         train_step=spiral_step,
     )
-    # the returned state is the pre-explosion snapshot, not the 1e6 params
-    assert int(state.step) == 4
+    # The returned state is a VALIDATED pre-explosion snapshot, not the
+    # 1e6 params.  The step-4 snapshot is pending-but-unvalidated (the
+    # very next window exploded, and train/loss is computed on pre-update
+    # params, so step 4's own update was never vouched for); the newest
+    # snapshot a later good window validated is step 2.
+    assert int(state.step) == 2
     assert max(float(jnp.abs(x).max()) for x in jax.tree.leaves(state.params)) < 1e3
-    # the final checkpoint holds the good snapshot too
-    assert ckpt.latest_step(str(tmp_path / "ck")) == 4
+    # the final checkpoint holds the good snapshot too (the exploded
+    # step-5 periodic checkpoint was pruned)
+    assert ckpt.latest_step(str(tmp_path / "ck")) == 2
