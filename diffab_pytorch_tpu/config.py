@@ -140,6 +140,25 @@ class TrainConfig:
     lr_warmup_steps: int = 0
     lr_decay_steps: int = 0
     lr_min_ratio: float = 0.0
+    # Self-conditioning TRAINING schedule (round 3 — the multi-loop sc/AAR
+    # trade is trained in, not a sampling artifact: QUALITY.md measured the
+    # sampling-time gate flat at 0.817-0.820 AAR.  These knobs reshape the
+    # training signal instead):
+    #   sc_rate            fraction of each batch trained conditioned
+    #                      (the Chen et al. recipe uses 0.5)
+    #   sc_onset_steps     steps trained fully COLD before conditioning
+    #                      starts (late-onset sc: learn the barcode rule
+    #                      first, add the estimate afterwards)
+    #   sc_rate_warmup     steps to ramp the rate 0 -> sc_rate after onset
+    #                      (annealed sc)
+    #   sc_seq_loss_weight per-sample weight of the SEQUENCE losses
+    #                      (KL + CE) on the conditioned half (<1 keeps the
+    #                      sequence head's gradient dominated by the cold
+    #                      half; geometry losses stay unweighted)
+    sc_rate: float = 0.5
+    sc_onset_steps: int = 0
+    sc_rate_warmup: int = 0
+    sc_seq_loss_weight: float = 1.0
     seed: int = 42
     val_pct: float = 0.1
     log_every: int = 50

@@ -202,14 +202,54 @@ def all_combos(n_values: int) -> list[tuple[int, ...]]:
     return combos
 
 
-def combo_loop_motif(combo: tuple[int, ...], loop: str = "H3") -> list[str]:
-    """Loop position k depends ONLY on slot k mod N_SLOTS: the
-    per-position local rule that makes generalization measurable.  Each
-    loop has a distinct additive offset so its motifs differ."""
+# Sequence degeneracy (round 3): with seq_degeneracy = d > 1, every loop
+# position admits d equally-valid residues per slot value (option g shifts
+# the identity by 9g; 9 is coprime to 20 so options are distinct for
+# d <= 4) and each INSTANCE draws its options at random.  The conformation
+# depends only on the slots, so all options are equally correct — on this
+# corpus a calibrated model should SAMPLE across options (diversity > 0)
+# while staying inside the valid set, which makes mode collapse
+# distinguishable from correct confidence (round-2 VERDICT weak #7: on the
+# unique-answer corpus, measured diversity 0.000-0.019 IS the optimum, so
+# the old protocol could not tell the two apart).
+_DEGENERACY_SHIFT = 9
+
+
+def loop_motif_index_options(
+    combo: tuple[int, ...], loop: str, degeneracy: int
+) -> list[list[int]]:
+    """Valid amino-acid indices (model vocabulary, 0..19) per loop
+    position — the evaluation ground truth for valid-set AAR / option
+    coverage on a degenerate corpus."""
     lo, hi = CDR_LOOP_RANGES[loop]
     off = _LOOP_SEQ_OFFSET[loop]
     return [
-        _aa(combo[k % N_SLOTS] * 7 + 3 * k + off) for k in range(hi - lo + 1)
+        [
+            (combo[k % N_SLOTS] * 7 + 3 * k + off + _DEGENERACY_SHIFT * g) % 20
+            for g in range(degeneracy)
+        ]
+        for k in range(hi - lo + 1)
+    ]
+
+
+def combo_loop_motif(
+    combo: tuple[int, ...], loop: str = "H3",
+    choices: list[int] | None = None,
+) -> list[str]:
+    """Loop position k depends ONLY on slot k mod N_SLOTS: the
+    per-position local rule that makes generalization measurable.  Each
+    loop has a distinct additive offset so its motifs differ.  `choices`
+    (per-position option indices) selects among the degenerate options;
+    None = option 0 everywhere (the unique-answer corpus)."""
+    lo, hi = CDR_LOOP_RANGES[loop]
+    off = _LOOP_SEQ_OFFSET[loop]
+    n = hi - lo + 1
+    if choices is None:
+        choices = [0] * n
+    return [
+        _aa(combo[k % N_SLOTS] * 7 + 3 * k + off
+            + _DEGENERACY_SHIFT * choices[k])
+        for k in range(n)
     ]
 
 
@@ -220,6 +260,7 @@ def combo_h3_motif(combo: tuple[int, ...]) -> list[str]:
 def _heavy_sequence_combo(
     resnums: list[int], combo: tuple[int, ...],
     cdr_loops: tuple[str, ...] = ("H3",),
+    loop_choices: dict[str, list[int]] | None = None,
 ) -> list[str]:
     seq = []
     loop_of_pos = {
@@ -236,7 +277,8 @@ def _heavy_sequence_combo(
     for r in resnums:
         if r in loop_of_pos:
             loop, k = loop_of_pos[r]
-            seq.append(combo_loop_motif(combo, loop)[k])
+            ch = None if loop_choices is None else loop_choices.get(loop)
+            seq.append(combo_loop_motif(combo, loop, choices=ch)[k])
         elif r in slot_of_pos:
             j, i = slot_of_pos[r]
             seq.append(_aa(combo[j] * 7 + 5 + 4 * i + j))  # slot-value code
@@ -275,20 +317,37 @@ def make_combo_pdb(
     bump_step: float = 0.6,
     jitter: float = 0.1,
     cdr_loops: tuple[str, ...] = ("H3",),
+    seq_degeneracy: int = 1,
 ) -> str:
     """One synthetic complex for the given slot-value combination.  With
     cdr_loops beyond H3, the listed loops' sequences AND conformations are
-    slot-driven too (joint multi-CDR compositional design)."""
+    slot-driven too (joint multi-CDR compositional design).
+    seq_degeneracy > 1 draws each loop position's residue uniformly among
+    its d valid options (loop_motif_index_options); the default 1 consumes
+    no extra randomness, so existing corpora reproduce byte-for-byte."""
+    if not 1 <= seq_degeneracy <= 4:
+        raise ValueError("seq_degeneracy must be in [1, 4] (option shifts "
+                         "stay distinct mod 20)")
     rng = np.random.default_rng(
         (hash(combo) & 0x7FFFFFFF) * 2_000_003 + seed
     )
+    loop_choices = None
+    if seq_degeneracy > 1:
+        loop_choices = {
+            loop: rng.integers(
+                0, seq_degeneracy,
+                size=CDR_LOOP_RANGES[loop][1] - CDR_LOOP_RANGES[loop][0] + 1,
+            ).tolist()
+            for loop in cdr_loops
+        }
 
     h_res, h_ca = _chain_residues(
         list(range(1, heavy_len + 1)),
         origin=np.zeros(3), direction=np.array([1.0, 0.2, 0.0]),
         perp=np.array([0.0, 0.0, 1.0]), rng=rng,
         sequence=_heavy_sequence_combo(
-            list(range(1, heavy_len + 1)), combo, tuple(cdr_loops)
+            list(range(1, heavy_len + 1)), combo, tuple(cdr_loops),
+            loop_choices=loop_choices,
         ),
     )
     l_res, _ = _chain_residues(
@@ -372,6 +431,7 @@ def write_combo_corpus(
     n_val_instances: int = 2,
     seed: int = 0,
     cdr_loops: tuple[str, ...] = ("H3",),
+    seq_degeneracy: int = 1,
     **pdb_kwargs,
 ) -> dict:
     """Write the compositional corpus + split manifest.
@@ -394,14 +454,18 @@ def write_combo_corpus(
             pdb_id = f"c{idx}_s{i}"
             with open(os.path.join(pdb_dir, f"{pdb_id}.pdb"), "w") as fh:
                 fh.write(make_combo_pdb(combo, seed * 1_000 + i,
-                                        cdr_loops=cdr_loops, **pdb_kwargs))
+                                        cdr_loops=cdr_loops,
+                                        seq_degeneracy=seq_degeneracy,
+                                        **pdb_kwargs))
             rows.append(f"{pdb_id},H,L,A")
     for idx, combo in enumerate(heldout):
         for i in range(n_val_instances):
             pdb_id = f"h{idx}_s{i}"
             with open(os.path.join(pdb_dir, f"{pdb_id}.pdb"), "w") as fh:
                 fh.write(make_combo_pdb(combo, seed * 1_000 + 500 + i,
-                                        cdr_loops=cdr_loops, **pdb_kwargs))
+                                        cdr_loops=cdr_loops,
+                                        seq_degeneracy=seq_degeneracy,
+                                        **pdb_kwargs))
             rows.append(f"{pdb_id},H,L,A")
     with open(os.path.join(out_dir, "meta.csv"), "w") as fh:
         fh.write("\n".join(rows) + "\n")
@@ -409,6 +473,7 @@ def write_combo_corpus(
         "n_values": n_values,
         "n_slots": N_SLOTS,
         "cdr_loops": list(cdr_loops),
+        "seq_degeneracy": seq_degeneracy,
         "train_combos": [list(c) for c in train],
         "heldout_combos": [list(c) for c in heldout],
         "n_per_combo": n_per_combo,

@@ -74,7 +74,8 @@ def make_dp_train_step(harness: DiffAb, mesh: Mesh, donate: bool = True):
         key = jax.random.fold_in(key, state.step)
         key = jax.random.fold_in(key, jax.lax.axis_index(DP_AXIS))
         grad_fn = jax.value_and_grad(
-            lambda p: harness.loss_fn(p, key, batch), has_aux=True
+            lambda p: harness.loss_fn(p, key, batch, step=state.step),
+            has_aux=True,
         )
         (_, metrics), grads = grad_fn(state.params)
         # gradient all-reduce over ICI; shards weighted equally

