@@ -53,6 +53,15 @@ class ModelConfig:
     # default backend is TPU, OFF elsewhere (the CPU fallback would run in
     # slow interpret mode).  True/False force it either way.
     use_pallas_attention: bool | None = None
+    # Fuse the ENTIRE IPA layer into the Pallas kernel (round 3): QKV
+    # projections, frame transforms, augmented-operand assembly, attention,
+    # and the scalar/point/norm output projections all run in VMEM — the
+    # per-design activation streams (projections + relayouts, ~69% of the
+    # reverse scan's HBM traffic by the bench.py byte ledger) never touch
+    # HBM.  Only the attention weights (for the XLA-side pair reduction)
+    # and the d-wide accumulator cross the chip boundary.  Requires
+    # use_pallas_attention; None = follow the attention flag.
+    fuse_ipa_layer: bool | None = None
     # Rematerialize IPA layers in the backward pass (jax.checkpoint):
     # trades ~1 extra forward for not storing per-layer activations —
     # enables much larger training batches (HBM is the binding constraint

@@ -160,18 +160,38 @@ class InvariantPointAttentionLayer(nn.Module):
             x = jnp.where(residue_mask[..., None], x, 0.0)
         dense = lambda n_out, name: nn.Dense(n_out, use_bias=False, dtype=dt, name=name)
 
-        # ---- projections ---------------------------------------------
-        q_s = dense(h * ds, "to_q_scalar")(x).reshape(b, L, h, ds)
-        k_s = dense(h * ds, "to_k_scalar")(x).reshape(b, L, h, ds)
-        v_s = dense(h * ds, "to_v_scalar")(x).reshape(b, L, h, ds)
+        # ---- projections: ONE fused matmul ---------------------------
+        # Six Dense modules keep the param tree (and the torch
+        # weight-transplant goldens) unchanged; their kernels are
+        # materialized via an identity matmul — loop-invariant, so XLA
+        # hoists it out of the sampler's T-step scan — and concatenated
+        # so x crosses HBM ONCE instead of six times.  The separate
+        # projections' x reads were ~10% of the reverse scan's HBM
+        # traffic (bench.py sampler_hbm_bytes: 7·d of the 180 MB/layer/
+        # step activation stream).  Per-column dot products are
+        # identical to the separate matmuls (same contraction, same
+        # accumulation order over d).
+        widths = (h * ds, h * ds, h * ds, h * pq * 3, h * pq * 3, h * pv * 3)
+        names = ("to_q_scalar", "to_k_scalar", "to_v_scalar",
+                 "to_q_point", "to_k_point", "to_v_point")
+        eye = jnp.eye(x.shape[-1], dtype=dt)
+        Ws = [dense(w, nm)(eye) for w, nm in zip(widths, names)]
 
-        q_p = dense(h * pq * 3, "to_q_point")(x).reshape(b, L, h, pq, 3)
-        k_p = dense(h * pq * 3, "to_k_point")(x).reshape(b, L, h, pq, 3)
-        v_p = dense(h * pv * 3, "to_v_point")(x).reshape(b, L, h, pv, 3)
-
-        q_p = frames_apply(q_p, rot.astype(dt), trans.astype(dt))
-        k_p = frames_apply(k_p, rot.astype(dt), trans.astype(dt))
-        v_p = frames_apply(v_p, rot.astype(dt), trans.astype(dt))
+        def project():
+            proj = x @ jnp.concatenate(Ws, axis=1)  # (b, L, sum(widths))
+            o1 = h * ds
+            o2, o3 = 2 * o1, 3 * o1
+            o4, o5 = o3 + h * pq * 3, o3 + 2 * h * pq * 3
+            q_s = proj[..., :o1].reshape(b, L, h, ds)
+            k_s = proj[..., o1:o2].reshape(b, L, h, ds)
+            v_s = proj[..., o2:o3].reshape(b, L, h, ds)
+            q_p = proj[..., o3:o4].reshape(b, L, h, pq, 3)
+            k_p = proj[..., o4:o5].reshape(b, L, h, pq, 3)
+            v_p = proj[..., o5:].reshape(b, L, h, pv, 3)
+            q_p = frames_apply(q_p, rot.astype(dt), trans.astype(dt))
+            k_p = frames_apply(k_p, rot.astype(dt), trans.astype(dt))
+            v_p = frames_apply(v_p, rot.astype(dt), trans.astype(dt))
+            return q_s, k_s, v_s, q_p, k_p, v_p
 
         # learned per-head weight, softplus-activated (AF2 convention; the
         # reference stores softplus^-1(1) but applies it raw — §2.9#10)
@@ -218,18 +238,19 @@ class InvariantPointAttentionLayer(nn.Module):
             #   * points still need the (b, L, ...) layout for the frame
             #     inverse and the norm nonlinearity.
             # Splitting the matmul only changes f32-accumulation grouping.
+            # With fuse_ipa_layer (round 3, default on): the projections,
+            # frame transforms, augmented assembly, attention, and the
+            # scalar/point/norm output slices ALL run inside one kernel
+            # (ops/ipa_pallas.py fused_ipa_layer) — only the attention
+            # weights and the (b, L, d) accumulator cross HBM.
             from diffab_pytorch_tpu.ops.ipa_pallas import (
-                fused_ipa_attention_raw,
+                fused_ipa_attention_raw, fused_ipa_layer,
             )
 
             mask = (
                 residue_mask.astype(dt)
                 if residue_mask is not None
                 else jnp.ones((b, L), dt)
-            )
-            out_s_t, attn, out_point = fused_ipa_attention_raw(
-                q_s, k_s, v_s, q_p, k_p, v_p, bias_pair,
-                gamma, mask, scale_scalar, scale_point, scale_total,
             )
             dp = cfg.d_pair_emb
             width = h * ds + h * dp + h * pv * 3 + h * pv
@@ -244,10 +265,30 @@ class InvariantPointAttentionLayer(nn.Module):
             W_p = W[h * ds + h * dp: h * ds + h * dp + h * pv * 3]
             W_n = W[h * ds + h * dp + h * pv * 3:]
 
-            acc = jax.lax.dot_general(
-                out_s_t.reshape(b, h * ds, L), W_s,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-            )  # (b, L, d)
+            if cfg.fuse_ipa_layer is not False:
+                acc, attn = fused_ipa_layer(
+                    x, rot.astype(dt), trans.astype(dt), mask,
+                    *Ws, W_s, W_p, W_n, bias_pair, gamma,
+                    scale_scalar, scale_point, scale_total,
+                )
+            else:
+                q_s, k_s, v_s, q_p, k_p, v_p = project()
+                out_s_t, attn, out_point = fused_ipa_attention_raw(
+                    q_s, k_s, v_s, q_p, k_p, v_p, bias_pair,
+                    gamma, mask, scale_scalar, scale_point, scale_total,
+                )
+                acc = jax.lax.dot_general(
+                    out_s_t.reshape(b, h * ds, L), W_s,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                )  # (b, L, d)
+                out_point = frames_apply_inverse(
+                    out_point, rot.astype(dt), trans.astype(dt)
+                )
+                out_point_norm = jnp.sqrt(
+                    jnp.sum(out_point**2, axis=-1) + 1e-8
+                )
+                acc = acc + out_point.reshape(b, L, h * pv * 3) @ W_p
+                acc = acc + out_point_norm.reshape(b, L, h * pv) @ W_n
             attn_g = attn.reshape(bp, n_designs, h, L, L)
             op = jax.lax.dot_general(
                 attn_g, pair.astype(dt),
@@ -258,15 +299,9 @@ class InvariantPointAttentionLayer(nn.Module):
                 dimension_numbers=(((3,), (0,)), ((), ())),
             )  # (bp, i, n, d)
             acc = acc + jnp.transpose(op, (0, 2, 1, 3)).reshape(b, L, -1)
-
-            out_point = frames_apply_inverse(
-                out_point, rot.astype(dt), trans.astype(dt)
-            )
-            out_point_norm = jnp.sqrt(jnp.sum(out_point**2, axis=-1) + 1e-8)
-            acc = acc + out_point.reshape(b, L, h * pv * 3) @ W_p
-            acc = acc + out_point_norm.reshape(b, L, h * pv) @ W_n
             return acc + b_row
         else:
+            q_s, k_s, v_s, q_p, k_p, v_p = project()
             # logits as explicit (b, h)-batched MXU matmuls on transposed
             # operands — einsums with the head dim between the batch and
             # contraction dims lower to bandwidth-bound multiply+reduce

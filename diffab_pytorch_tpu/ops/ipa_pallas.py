@@ -352,6 +352,352 @@ def _pallas_forward(
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-3: FULLY fused IPA layer kernel.
+#
+# The attention-only kernel above still pays the per-design activation
+# streams through HBM every layer-step: six projection matmuls materialize
+# (b, L, h, f) tensors, frames_apply rewrites the point clouds, head_t
+# relayouts everything into the kernel's (b, h, f, L) layout, and the
+# augmented operands cross HBM again as kernel inputs — ~180 MB of the
+# 262 MB/layer/step the 128-design fan-out moves (bench.py
+# sampler_hbm_bytes).  This kernel moves ALL of it into VMEM: per grid
+# cell it reads the residue embedding x (and the tiny per-step frame
+# tensors), projects with the fused weight blocks, applies the rigid
+# frames, assembles the augmented operands, runs the attention core, and
+# applies the scalar/point/norm slices of the output projection — writing
+# back only the attention weights (consumed by the XLA-side pair
+# reduction, the measured-best split) and the (b, L, d) accumulator.
+#
+# Layout rules that make it lower cleanly on Mosaic:
+#   * every point tensor lives as (h, 3, P, L) — coordinates on a
+#     non-tiled axis, (P, L) = (8, 128) exact f32 tiles, so frame
+#     transforms are sublane-aligned vector ops;
+#   * the fused projection weights are column-REORDERED outside the kernel
+#     (params-only, hoisted out of the sampler scan) to emit that layout
+#     directly, with scale_scalar / sqrt(0.5*scale_point*gamma) folded in;
+#   * rotations arrive as (b, 9, L) rows R[i, j] at 3*i+j, translations as
+#     (b, 3, L) (+ a per-head g-scaled copy for the q/k side, since gamma
+#     cannot broadcast from an (h,) vector inside the kernel).
+# ---------------------------------------------------------------------------
+
+
+def _layer_kernel(
+    x_ref,     # (db, L, d)
+    rot_ref,   # (db, 9, L)   rows 3*i+j = R[i, j]
+    trg_ref,   # (db, h, 3, L)  g-scaled translations (q/k side)
+    trv_ref,   # (db, 3, L)     plain translations (v side)
+    nk_ref,    # (db, 1, L)     -NEG_INF/scale_total on padded keys
+    wq_ref,    # (d, h*(ds+3*pq))  [scalar*ss | points*(g)] per head
+    wk_ref,    # (d, h*(ds+3*pq))
+    wv_ref,    # (d, h*(ds+3*pv))
+    bias_ref,  # (1, h, L, L) f32 pair-bias logits
+    wos_ref,   # (h*ds, d)
+    wop_ref,   # (h*3*pv, d)  rows ordered (h, coord, pv)
+    won_ref,   # (h*pv, d)
+    acc_ref,   # (db, L, d)
+    attn_ref,  # (db, h, L, L)
+    *,
+    scale_total: float,
+    h: int,
+    ds: int,
+    pq: int,
+    pv: int,
+):
+    f32 = jnp.float32
+    dt = x_ref.dtype
+    db, L, d = x_ref.shape
+    bias = bias_ref[0].astype(f32)  # (h, L, L), shared across the db designs
+
+    for di in range(db):  # static unroll: designs folded into one cell
+        x_i = x_ref[di]  # (L, d)
+        r = rot_ref[di]  # (9, L)
+        rc = lambda k: r[k : k + 1, :].astype(f32)[None]  # (1, 1, L)
+
+        # fused projections: (F, L) = W^T-contraction against x rows
+        proj = lambda w_ref: jax.lax.dot_general(
+            w_ref[:], x_i, (((0,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        pjq, pjk, pjv = proj(wq_ref), proj(wk_ref), proj(wv_ref)
+
+        def split(p, np_):
+            return (
+                p[: h * ds].reshape(h, ds, L),
+                p[h * ds :].reshape(h, 3, np_, L),
+            )
+
+        qs, qp = split(pjq, pq)
+        ks, kp = split(pjk, pq)
+        vs, vp = split(pjv, pv)
+
+        def fapply(p4, t_c, inverse=False):
+            """x @ R + t per coordinate; p4 (h, 3, P, L), t_c(c) -> bcast.
+            inverse=False: out_c = sum_i p_i R[i, c]  (rows 3*i+c);
+            inverse=True:  out_c = sum_i p_i R[c, i]  (rows 3*c+i)."""
+            cols = []
+            for c in range(3):
+                idx = (lambda i: 3 * i + c) if not inverse else (
+                    lambda i: 3 * c + i
+                )
+                o = (
+                    p4[:, 0] * rc(idx(0))
+                    + p4[:, 1] * rc(idx(1))
+                    + p4[:, 2] * rc(idx(2))
+                )
+                if t_c is not None:
+                    o = o + t_c(c)
+                cols.append(o[:, None])
+            return jnp.concatenate(cols, axis=1)  # (h, 3, P, L)
+
+        trg = trg_ref[di].astype(f32)  # (h, 3, L)
+        trv = trv_ref[di].astype(f32)  # (3, L)
+        qg = fapply(qp, lambda c: trg[:, c][:, None, :])
+        kg = fapply(kp, lambda c: trg[:, c][:, None, :])
+        vg = fapply(vp, lambda c: trv[c : c + 1, :][None])
+
+        q_sq = jnp.sum((qg * qg).reshape(h, 3 * pq, L), 1, keepdims=True)
+        k_sq = jnp.sum((kg * kg).reshape(h, 3 * pq, L), 1, keepdims=True)
+        ones = jnp.ones((h, 1, L), f32)
+        nk = jnp.broadcast_to(nk_ref[di].astype(f32)[None], (h, 1, L))
+        f_aug = ds + 3 * pq + 3
+        pad = -(-f_aug // 16) * 16 - f_aug
+        zpad = jnp.zeros((h, pad, L), f32)
+        q_aug = jnp.concatenate(
+            [qs, (2.0 * qg).reshape(h, 3 * pq, L), -q_sq, -ones, ones, zpad],
+            axis=1,
+        ).astype(dt)
+        k_aug = jnp.concatenate(
+            [ks, kg.reshape(h, 3 * pq, L), ones, k_sq, nk, zpad], axis=1
+        ).astype(dt)
+
+        logit = jax.lax.dot_general(
+            q_aug, k_aug, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )  # (h, L, L)
+        logit = (logit + bias) * scale_total
+        m = jnp.max(logit, axis=-1, keepdims=True)
+        e = jnp.exp(logit - m)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        at = attn.astype(dt)
+        attn_ref[di] = at
+
+        # attention-weighted sums + output projection slices, all in VMEM
+        wsum = lambda v_t: jax.lax.dot_general(
+            v_t.astype(dt), at, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        os_ = wsum(vs)  # (h, ds, Li)
+        out_proj = lambda t, w_ref: jax.lax.dot_general(
+            t.astype(dt), w_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        acc = out_proj(os_.reshape(h * ds, L), wos_ref)  # (L, d)
+
+        og = wsum(vg.reshape(h, 3 * pv, L)).reshape(h, 3, pv, L)
+        dd = og - trv[None, :, None, :]  # (h, 3, pv, L) - (1, 3, 1, L)
+        loc = fapply(dd, None, inverse=True)
+        nrm = jnp.sqrt(jnp.sum(loc * loc, axis=1) + 1e-8)  # (h, pv, L)
+        acc = acc + out_proj(loc.reshape(h * 3 * pv, L), wop_ref)
+        acc = acc + out_proj(nrm.reshape(h * pv, L), won_ref)
+        acc_ref[di] = acc.astype(acc_ref.dtype)
+
+
+def _pallas_layer(
+    x, rot, trans, mask,
+    w_qs, w_ks, w_vs, w_qp, w_kp, w_vp, w_os, w_op, w_on,
+    bias, gamma, scale_scalar, scale_point, scale_total,
+):
+    """Assemble the reordered/pre-scaled operands and run the fused layer
+    kernel.  Weight reordering and scaling are params-only — XLA hoists
+    them out of the sampler scan.  Returns (acc (b, L, d), attn
+    (b, h, L, L)), acc excluding the pair contribution and the output
+    bias row (added by the caller)."""
+    b, L, d = x.shape
+    h = gamma.shape[0]
+    ds = w_qs.shape[1] // h
+    pq = w_qp.shape[1] // (h * 3)
+    pv = w_vp.shape[1] // (h * 3)
+    if pq != pv:
+        raise ValueError("fused layer kernel assumes equal q/v point counts")
+    bp = bias.shape[0]
+    if b % bp:
+        raise ValueError(f"state batch {b} is not a multiple of pair batch {bp}")
+    n_designs = b // bp
+    dt = x.dtype
+
+    # ---- weights: reorder points (h, pq, 3) -> (h, 3, pq), fold scales --
+    g = jnp.sqrt(0.5 * scale_point * gamma.astype(jnp.float32))  # (h,)
+    reorder = lambda w, np_: jnp.transpose(
+        w.reshape(d, h, np_, 3), (0, 1, 3, 2)
+    ).reshape(d, h * 3 * np_)
+    scale_heads = lambda w, np_: (
+        w.reshape(d, h, 3 * np_) * g[None, :, None].astype(w.dtype)
+    ).reshape(d, h * 3 * np_)
+    wq = jnp.concatenate(
+        [w_qs * jnp.asarray(scale_scalar, w_qs.dtype),
+         scale_heads(reorder(w_qp, pq), pq)], axis=1,
+    ).astype(dt)
+    wk = jnp.concatenate(
+        [w_ks, scale_heads(reorder(w_kp, pq), pq)], axis=1
+    ).astype(dt)
+    wv = jnp.concatenate([w_vs, reorder(w_vp, pv)], axis=1).astype(dt)
+    # output projection: point rows native (h, pv, 3) -> kernel (h, 3, pv)
+    w_op_r = jnp.transpose(
+        w_op.reshape(h, pv, 3, d), (0, 2, 1, 3)
+    ).reshape(h * 3 * pv, d).astype(dt)
+    w_os_c = w_os.astype(dt)
+    w_on_c = w_on.astype(dt)
+
+    # ---- per-step tensors --------------------------------------------
+    rot_r = jnp.transpose(rot, (0, 2, 3, 1)).reshape(b, 9, L).astype(dt)
+    trv = jnp.swapaxes(trans, 1, 2).astype(dt)  # (b, 3, L)
+    trg = (trv[:, None] * g[None, :, None, None].astype(dt))  # (b, h, 3, L)
+    nk = (
+        (mask.astype(jnp.float32) - 1.0) * (-_NEG_INF / float(scale_total))
+    )[:, None, :].astype(dt)  # (b, 1, L)
+
+    db = _pick_designs_per_block(n_designs)
+    n_blocks = n_designs // db
+
+    dspec = lambda *shape: pl.BlockSpec(
+        (db,) + shape, lambda i, j: (i * n_blocks + j,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    wspec = lambda w: pl.BlockSpec(
+        w.shape, lambda i, j: (0,) * w.ndim, memory_space=pltpu.VMEM
+    )
+    bias_spec = pl.BlockSpec(
+        (1, h, L, L), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    grid_spec = pl.GridSpec(
+        grid=(bp, n_blocks),
+        in_specs=[
+            dspec(L, d), dspec(9, L), dspec(h, 3, L), dspec(3, L),
+            dspec(1, L),
+            wspec(wq), wspec(wk), wspec(wv), bias_spec,
+            wspec(w_os_c), wspec(w_op_r), wspec(w_on_c),
+        ],
+        out_specs=[dspec(L, d), dspec(h, L, L)],
+    )
+    kernel = functools.partial(
+        _layer_kernel, scale_total=float(scale_total), h=h, ds=ds, pq=pq,
+        pv=pv,
+    )
+    fq = h * (ds + 3 * pq)
+    flops_per_design = (
+        2 * L * d * (2 * fq + h * (ds + 3 * pv))  # projections
+        + 2 * h * L * L * (ds + 3 * pq + 3)  # logits
+        + 2 * h * L * L * (ds + 3 * pv)  # weighted sums
+        + 2 * L * d * (h * ds + h * 3 * pv + h * pv)  # output projections
+    )
+    acc, attn = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, L, d), dt),
+            jax.ShapeDtypeStruct((b, h, L, L), dt),
+        ],
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=b * flops_per_design,
+            bytes_accessed=(
+                b * L * d * 2 * x.dtype.itemsize
+                + b * h * L * L * x.dtype.itemsize
+                + bp * h * L * L * bias.dtype.itemsize
+            ),
+            transcendentals=b * h * L * L,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(x, rot_r, trg, trv, nk, wq, wk, wv, bias, w_os_c, w_op_r, w_on_c)
+    return acc, attn
+
+
+def _layer_core_jnp(
+    x, rot, trans, mask,
+    w_qs, w_ks, w_vs, w_qp, w_kp, w_vp, w_os, w_op, w_on,
+    bias, gamma, scale_scalar, scale_point, scale_total,
+):
+    """jnp mirror of the fused layer kernel (identical math, native
+    layouts) — the VJP recompute target and the correctness-diff
+    reference."""
+    from diffab_pytorch_tpu.models.ipa import (
+        frames_apply, frames_apply_inverse,
+    )
+
+    b, L, d = x.shape
+    h = gamma.shape[0]
+    ds = w_qs.shape[1] // h
+    pq = w_qp.shape[1] // (h * 3)
+    pv = w_vp.shape[1] // (h * 3)
+    q_s = (x @ w_qs).reshape(b, L, h, ds)
+    k_s = (x @ w_ks).reshape(b, L, h, ds)
+    v_s = (x @ w_vs).reshape(b, L, h, ds)
+    q_p = frames_apply((x @ w_qp).reshape(b, L, h, pq, 3), rot, trans)
+    k_p = frames_apply((x @ w_kp).reshape(b, L, h, pq, 3), rot, trans)
+    v_p = frames_apply((x @ w_vp).reshape(b, L, h, pv, 3), rot, trans)
+
+    out_s_t, attn, out_p = _attention_core_raw_jnp(
+        q_s, k_s, v_s, q_p, k_p, v_p, bias, gamma, mask,
+        scale_scalar, scale_point, scale_total,
+    )
+    acc = jax.lax.dot_general(
+        out_s_t.reshape(b, h * ds, L), w_os,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+    )  # (b, L, d)
+    out_p = frames_apply_inverse(out_p, rot, trans)
+    nrm = jnp.sqrt(jnp.sum(out_p**2, axis=-1) + 1e-8)
+    acc = acc + out_p.reshape(b, L, h * pv * 3) @ w_op
+    acc = acc + nrm.reshape(b, L, h * pv) @ w_on
+    return acc, attn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
+def fused_ipa_layer(
+    x, rot, trans, mask,
+    w_qs, w_ks, w_vs, w_qp, w_kp, w_vp, w_os, w_op, w_on,
+    bias, gamma, scale_scalar, scale_point, scale_total,
+):
+    """Fully fused IPA layer (projections + frames + attention + output
+    projections in one VMEM-resident kernel).  Weight matrices are passed
+    in their NATIVE column orders (matching the flax Dense kernels); the
+    wrapper reorders/pre-scales them outside the kernel.  Returns
+    (acc (b, L, d), attn (b, h, L, L)); acc excludes the pair contribution
+    and the to_out bias row."""
+    return _pallas_layer(
+        x, rot, trans, mask,
+        w_qs, w_ks, w_vs, w_qp, w_kp, w_vp, w_os, w_op, w_on,
+        bias, gamma, scale_scalar, scale_point, scale_total,
+    )
+
+
+def _fwd_layer(x, rot, trans, mask, w_qs, w_ks, w_vs, w_qp, w_kp, w_vp,
+               w_os, w_op, w_on, bias, gamma,
+               scale_scalar, scale_point, scale_total):
+    out = _pallas_layer(
+        x, rot, trans, mask, w_qs, w_ks, w_vs, w_qp, w_kp, w_vp,
+        w_os, w_op, w_on, bias, gamma,
+        scale_scalar, scale_point, scale_total,
+    )
+    return out, (x, rot, trans, mask, w_qs, w_ks, w_vs, w_qp, w_kp, w_vp,
+                 w_os, w_op, w_on, bias, gamma)
+
+
+def _bwd_layer(scale_scalar, scale_point, scale_total, residuals, grads):
+    """Backward differentiates the identical jnp computation (recompute)."""
+    _, vjp = jax.vjp(
+        lambda *args: _layer_core_jnp(
+            *args, scale_scalar=scale_scalar, scale_point=scale_point,
+            scale_total=scale_total,
+        ),
+        *residuals,
+    )
+    return vjp(grads)
+
+
+fused_ipa_layer.defvjp(_fwd_layer, _bwd_layer)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
 def fused_ipa_attention(
     q_s, k_s, v_s, q_p, k_p, v_p, pair, bias, gamma, mask,

@@ -72,6 +72,29 @@ def test_layer_flag_equivalence(cfg, inputs):
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_jnp), atol=2e-4)
 
 
+def test_layer_fuse_off_equivalence(cfg, inputs):
+    """fuse_ipa_layer=False (attention-only kernel + XLA projections) must
+    match both the jnp path and the fully fused layer (round 3)."""
+    x, pair, rot, trans, mask = inputs
+    layer_jnp = InvariantPointAttentionLayer(cfg)
+    params = layer_jnp.init(jax.random.key(7), x, pair, rot, trans, mask)
+    out_jnp = layer_jnp.apply(params, x, pair, rot, trans, mask)
+    outs = {}
+    for fuse in (True, False):
+        cfg_pl = dataclasses.replace(
+            cfg, use_pallas_attention=True, fuse_ipa_layer=fuse
+        )
+        outs[fuse] = InvariantPointAttentionLayer(cfg_pl).apply(
+            params, x, pair, rot, trans, mask
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[fuse]), np.asarray(out_jnp), atol=2e-4
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs[True]), np.asarray(outs[False]), atol=2e-4
+    )
+
+
 def test_layer_flag_equivalence_no_mask(cfg, inputs):
     x, pair, rot, trans, _ = inputs
     layer_jnp = InvariantPointAttentionLayer(cfg)
