@@ -66,6 +66,19 @@ def parse_args(argv=None):
                         "beta-tilde analogue — frame-memory chain with "
                         "posterior-matched noise; see "
                         "diffusion/orientation.py)")
+    p.add_argument("--noise-t-max", type=int, default=None,
+                   help="Defer coordinate posterior noise to steps "
+                        "t <= this threshold (deterministic high-t "
+                        "transport).  Cuts the ns=1.0 scattered-design "
+                        "fraction 14x with AAR/median unchanged "
+                        "(DESIGN.md round-3 scatter study; 50 is the "
+                        "measured sweet spot on T=100)")
+    p.add_argument("--step-schedule", choices=["uniform", "hight"],
+                   default="uniform",
+                   help="Few-step t-subsequence: 'uniform' striding or "
+                        "'hight' (dense at high t where basin entry is "
+                        "decided — trades median precision for a lower "
+                        "scatter rate; see DESIGN.md)")
     p.add_argument("--x0-clip", default="auto",
                    help="Static thresholding of the implied clean coords "
                         "each reverse step: 'auto' (bound from the context "
@@ -135,6 +148,8 @@ def main(argv=None) -> int:
         t_start=args.t_restart,
         n_steps=args.n_steps,
         noise_scale=args.noise_scale,
+        noise_t_max=args.noise_t_max,
+        step_schedule=args.step_schedule,
         orientation_reverse=args.orientation_reverse,
         x0_clip=(
             None if str(args.x0_clip).lower() in ("none", "0")

@@ -51,6 +51,7 @@ def reverse_step(
     x0_clip: float | jax.Array | None = None,
     noise_scale: float = 1.0,
     s: jax.Array | None = None,
+    mode: str = "posterior",
 ) -> jax.Array:
     """One DDPM posterior step x_t -> x_s using the predicted noise.
 
@@ -88,6 +89,36 @@ def reverse_step(
     A bound tighter than the true coordinate range actively amputates
     geometry: clip=5.0 on patches whose CDRs legitimately reach |x| ~ 8
     measured 26.8 A RMSD where the correctly-sized bound gave 1.3 A.
+
+    mode: "posterior" (default) or "ddim".  The two are IDENTICAL at
+    noise_scale = 1 (variance identity c_eps^2 + beta_tilde = 1 - abar_s,
+    pinned in tests/test_fewstep.py); they differ in how the carried
+    residual is scaled when noise_scale < 1:
+
+      posterior  carries sqrt(alpha_ts)(1-abar_s)/(1-abar_t) x_t — every
+                 step CONTRACTS the residual component, which is what
+                 makes the deterministic low-t chain precise (the
+                 contraction eats eps_hat error), but at HIGH t it also
+                 contracts the chain's noise RADIUS below the marginal
+                 sqrt(1-abar_s): x collapses toward the origin faster
+                 than the manifold shrinks, the denoiser sees
+                 off-distribution inputs, and some chains freeze near
+                 their init (the scattered-design mechanism measured by
+                 scripts/probe_scatter.py — 100% of scattered designs
+                 NEVER entered the basin; their max|x| stagnated at
+                 ~0.2 of the data extent while clean chains reached 0.5).
+      ddim       rescales the residual direction to the marginal radius:
+                 x_s = sqrt(abar_s) x0_hat
+                       + sqrt(1-abar_s-sigma^2) (x_t - sqrt(abar_t)
+                         x0_hat)/sqrt(1-abar_t) + sigma z,
+                 sigma = noise_scale sqrt(beta_tilde) — the chain stays
+                 ON the q(x_s | x0_hat) manifold by construction, but
+                 faithfully carries eps_hat error forward (measured 67 A
+                 vs 0.30 A on a full-length ns=0 chain — do NOT run ddim
+                 at low t).
+
+    The sampler's coord_ddim_t_min knob composes them per step: ddim in
+    the stiff high-t transport region, posterior contraction below.
     """
     if isinstance(x0_clip, jax.Array) and x0_clip.ndim == 1:
         x0_clip = x0_clip[..., None, None]  # (b,) -> broadcast (b, L, 3)
@@ -112,7 +143,22 @@ def reverse_step(
     # error forward instead of shrinking it.  (Both parameterizations are
     # identical at noise_scale = 1 by the variance identity
     # c_eps^2 + beta_tilde = 1 - abar_s, pinned in tests/test_fewstep.py.)
-    if x0_clip is None:
+    if mode not in ("posterior", "ddim"):
+        raise ValueError(f"mode must be 'posterior' or 'ddim', got {mode!r}")
+    sigma = noise_scale * jnp.sqrt(jnp.maximum(beta_tilde, 0.0))
+    if mode == "ddim":
+        x0_hat = (
+            translations_t - jnp.sqrt(one_minus_abar) * eps_hat
+        ) / jnp.sqrt(abar)
+        if x0_clip is not None:
+            x0_hat = jnp.clip(x0_hat, -x0_clip, x0_clip)
+        direction = (
+            translations_t - jnp.sqrt(abar) * x0_hat
+        ) / jnp.sqrt(one_minus_abar)
+        mean = jnp.sqrt(abar_prev) * x0_hat + jnp.sqrt(
+            jnp.maximum((1.0 - abar_prev) - sigma**2, 0.0)
+        ) * direction
+    elif x0_clip is None:
         mean = (
             translations_t - beta / jnp.sqrt(one_minus_abar) * eps_hat
         ) / jnp.sqrt(alpha)
@@ -128,7 +174,7 @@ def reverse_step(
             + jnp.sqrt(alpha) * (1.0 - abar_prev) * translations_t
         ) / one_minus_abar
     noise = jax.random.normal(key, translations_t.shape, dtype=translations_t.dtype)
-    x_prev = mean + noise_scale * jnp.sqrt(jnp.maximum(beta_tilde, 0.0)) * noise
+    x_prev = mean + sigma * noise
     return jnp.where(generation_mask[..., None], x_prev, translations_t)
 
 

@@ -73,6 +73,10 @@ def sample(
     n_designs: int = 1,
     n_steps: int | None = None,
     sc_t_max: int | None = None,
+    coord_ddim_t_min: int | None = None,
+    noise_t_max: int | None = None,
+    step_schedule: str = "uniform",
+    step_schedule_p: float = 0.5,
 ) -> SampleResult:
     """Run the full reverse loop.  jit-compatible (flags, t_start and
     n_designs are Python-static).
@@ -124,6 +128,38 @@ def sample(
                          variance (generated loops live within the
                          complex the context frames).  A float applies a
                          global box; None disables.
+    coord_ddim_t_min:    hybrid coordinate reverse (scatter mitigation,
+                         scripts/probe_scatter.py): steps with t > this
+                         threshold use the DDIM-direction step — the
+                         chain's residual is RESCALED to the marginal
+                         radius sqrt(1-abar_s) instead of contracted, so
+                         under-transported chains cannot freeze off the
+                         data manifold at mid-t — and steps at or below
+                         it use the error-contracting posterior mean
+                         (precision).  None = posterior everywhere (the
+                         two are identical at noise_scale=1 anyway; this
+                         knob matters for ns<1 and few-step chains).
+    noise_t_max:         defer posterior noise: coordinate noise is only
+                         injected at steps t <= noise_t_max; above it the
+                         chain follows the deterministic posterior mean.
+                         Rationale (scripts/probe_scatter.py): scatter is
+                         decided during high-t transport — the
+                         deterministic full chain never scatters — so a
+                         noiseless entry phase buys the stochastic modes'
+                         diversity without their scatter.  None = noise
+                         everywhere (ordinary noise_scale behavior).
+    step_schedule:       "uniform" (default) or "hight" for few-step
+                         chains: "hight" spends the n_steps budget
+                         densely at HIGH t (t(u) = 1 + (t_start-1)
+                         (1-u)^p, p = step_schedule_p < 1) where the
+                         scatter probe localizes the basin-entry failure,
+                         with wider jumps at low t where the posterior
+                         contraction is forgiving.  (The low-t-dense
+                         variant was measured strictly worse — DESIGN.md;
+                         this is the opposite end.)  Measured at p=0.5:
+                         scatter 0.250 -> 0.188 and AAR -> 1.000 on the
+                         25-step chain, at a median cost 0.32 -> 0.82 A —
+                         p trades the two.
     """
     T = sched.T
     t_start = T if t_start is None else int(t_start)
@@ -247,10 +283,27 @@ def sample(
             k1, sched, seq_t, denoised["seq_posterior"], tvec, seq_gen,
             s=svec,
         )
+        ns_t = noise_scale
+        if noise_t_max is not None:
+            # noiseless high-t entry phase (see noise_t_max in the docstring)
+            ns_t = noise_scale * (tvec <= noise_t_max).astype(x_t.dtype)[
+                :, None, None
+            ]
         x_next = coordinate.reverse_step(
             k2, sched, x_t, denoised["translations_eps"], tvec, struct_gen,
-            x0_clip=x0_clip, noise_scale=noise_scale, s=svec,
+            x0_clip=x0_clip, noise_scale=ns_t, s=svec,
         )
+        if coord_ddim_t_min is not None:
+            # hybrid: the same key drives both arms so the noise draw is
+            # aligned; the switch is a per-step where (t is traced)
+            x_ddim = coordinate.reverse_step(
+                k2, sched, x_t, denoised["translations_eps"], tvec,
+                struct_gen, x0_clip=x0_clip, noise_scale=ns_t,
+                s=svec, mode="ddim",
+            )
+            x_next = jnp.where(
+                (tvec > coord_ddim_t_min)[:, None, None], x_ddim, x_next
+            )
         r_next = orientation.reverse_step(
             k3, tables, r_t, denoised["orientations_t0"], tvec, struct_gen,
             noise_scale=orientation_noise_scale, s=svec,
@@ -269,8 +322,21 @@ def sample(
             return (state_next, sc_next), ys
         return state_next, ys
 
+    if step_schedule not in ("uniform", "hight"):
+        raise ValueError(
+            f"step_schedule must be 'uniform' or 'hight', got {step_schedule!r}"
+        )
     if n_steps is None or n_steps >= t_start:
         t_seq = np.arange(t_start, 0, -1)
+    elif step_schedule == "hight":
+        # dense at high t (small early jumps through the stiff transport
+        # region), sparse at low t: t(u) = 1 + (t_start-1)(1-u)^p
+        u = np.linspace(0.0, 1.0, n_steps)
+        t_seq = np.unique(
+            np.round(
+                1.0 + (t_start - 1.0) * (1.0 - u) ** float(step_schedule_p)
+            ).astype(np.int64)
+        )[::-1]
     else:
         # strided subsequence t_start..1, n_steps long, always ending at 1
         t_seq = np.unique(

@@ -1,0 +1,171 @@
+"""Scatter-mitigation A/B: coordinate reverse modes on a trained checkpoint.
+
+probe_scatter.py localized the scattered-design mechanism: chains freeze
+near their init during the HIGH-t transport phase (100% "never entered
+the basin"; translations stagnate at ~0.2 of the data extent while
+sequence/orientations recover normally) — the posterior-mean step
+contracts the chain's residual below the marginal radius sqrt(1-abar_s),
+leaving under-transported chains off the training manifold at mid-t.
+
+This probe measures the candidate fixes on the SAME checkpoint and key
+protocol (pure sampling-time changes):
+
+  * coord_ddim_t_min (sampler knob): DDIM-direction steps at t > k keep
+    the chain on the marginal radius; posterior contraction below.
+  * step_schedule="hight" (few-step only): spend the step budget densely
+    at high t, where the basin entry is decided.
+  * combinations.
+
+Usage: python scripts/probe_coord_reverse.py --workdir runs/quality_combo12k
+Writes {workdir}/coord_reverse_probe.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", default="runs/quality_combo12k")
+    p.add_argument("--targets", type=int, default=12)
+    p.add_argument("--designs", type=int, default=16)
+    p.add_argument("--cdrs", nargs="+", default=["H3"])
+    p.add_argument("--scatter-thresh", type=float, default=2.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--smoke", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffab_pytorch_tpu.config import default_config, tiny_config
+    from diffab_pytorch_tpu.data.dataset import (
+        COORD_SCALE, PatchDataset, assemble_batch,
+    )
+    from diffab_pytorch_tpu.train import DiffAb
+    from diffab_pytorch_tpu.train import checkpoint as ckpt_lib
+
+    t0 = time.time()
+    log = lambda m: print(f"[coordrev +{time.time()-t0:7.1f}s] {m}", flush=True)
+
+    ckpt_dir = os.path.abspath(os.path.join(args.workdir, "checkpoints"))
+    cfg = tiny_config() if args.smoke else default_config()
+    saved_model = ckpt_lib.load_model_config(ckpt_dir)
+    if saved_model is not None:
+        cfg = dataclasses.replace(cfg, model=saved_model)
+    harness = DiffAb(cfg)
+
+    npz_dir = os.path.join(args.workdir, "npz")
+    stem = lambda p: os.path.splitext(os.path.basename(p))[0]
+    val_paths = [p for p in sorted(glob.glob(os.path.join(npz_dir, "*.npz")))
+                 if stem(p).startswith("h")]
+    if not val_paths:
+        raise SystemExit(f"no val_combo (h*) patches under {npz_dir}")
+    take = np.linspace(0, len(val_paths) - 1,
+                       min(len(val_paths), args.targets)).astype(int)
+    val_paths = [val_paths[i] for i in np.unique(take)]
+    ds = PatchDataset(val_paths, cdrs_to_generate=args.cdrs)
+
+    one0, _ = assemble_batch([ds[0]], args.cdrs)
+    state = harness.init(jax.random.key(args.seed), one0)
+    params, at_step = ckpt_lib.restore_params(ckpt_dir, state.params)
+    log(f"restored {ckpt_dir} @ step {at_step}")
+
+    n = args.designs
+
+    def make_fn(**kw):
+        def _fn(params, one, rep, key):
+            res = harness.sample(params, one, key, n_designs=n, **kw)
+            genm = rep.generation_mask & rep.residue_mask
+            denom = jnp.maximum(genm.sum(-1), 1)
+            diff = (res.translations - rep.translations) * COORD_SCALE
+            sq = (diff**2).sum(-1)
+            rmsd = jnp.sqrt((sq * genm).sum(-1) / denom)  # (n,)
+            aar = ((res.seq_idx == rep.seq_idx) & genm).sum(-1) / denom
+            return dict(rmsd=rmsd, aar=aar)
+
+        return jax.jit(_fn)
+
+    T = cfg.diffusion.T
+    arms = {
+        # full-length stochastic chain (the 30%-scatter mode): defer the
+        # posterior noise past the high-t entry region (the deterministic
+        # full chain never scatters — probe_scatter.py)
+        "ns1_base": make_fn(noise_scale=1.0),
+        "ns1_ntmax90": make_fn(noise_scale=1.0, noise_t_max=9 * T // 10),
+        "ns1_ntmax75": make_fn(noise_scale=1.0, noise_t_max=3 * T // 4),
+        "ns1_ntmax50": make_fn(noise_scale=1.0, noise_t_max=T // 2),
+        # 25-step deterministic chain (the 25%-scatter fast mode): high-t-
+        # dense schedules, exponent trades scatter vs low-t precision
+        "ns0_25_base": make_fn(noise_scale=0.0, n_steps=25),
+        "ns0_25_hight50": make_fn(noise_scale=0.0, n_steps=25,
+                                  step_schedule="hight"),
+        "ns0_25_hight65": make_fn(noise_scale=0.0, n_steps=25,
+                                  step_schedule="hight",
+                                  step_schedule_p=0.65),
+        "ns0_25_hight80": make_fn(noise_scale=0.0, n_steps=25,
+                                  step_schedule="hight",
+                                  step_schedule_p=0.8),
+    }
+
+    raw = {a: [] for a in arms}
+    for vi in range(len(ds)):
+        one, _ = assemble_batch([ds[vi]], args.cdrs)
+        rep, _ = assemble_batch([ds[vi]] * n, args.cdrs)
+        key = jax.random.fold_in(jax.random.key(args.seed + 7), vi)
+        for arm, fn in arms.items():
+            raw[arm].append(jax.device_get(fn(params, one, rep, key)))
+        if vi == 0:
+            log("first target done (compiles paid)")
+
+    out = {"meta": {
+        "workdir": args.workdir, "checkpoint_step": at_step,
+        "targets": len(ds), "designs_per_target": n,
+        "scatter_thresh_A": args.scatter_thresh, "cdrs": args.cdrs,
+    }}
+    thr = args.scatter_thresh
+    for arm in arms:
+        rmsd = np.concatenate([r["rmsd"] for r in raw[arm]])
+        aar = np.concatenate([r["aar"] for r in raw[arm]])
+        best = np.mean([r["rmsd"].min() for r in raw[arm]])
+        m = {
+            "scatter_fraction": float((rmsd > thr).mean()),
+            "rmsd_mean": float(rmsd.mean()),
+            "rmsd_median": float(np.median(rmsd)),
+            "rmsd_best_of_n": float(best),
+            "aar": float(aar.mean()),
+        }
+        out[arm] = m
+        log(f"{arm}: scatter {m['scatter_fraction']:.3f} "
+            f"mean {m['rmsd_mean']:.2f} med {m['rmsd_median']:.2f} "
+            f"best {m['rmsd_best_of_n']:.2f} AAR {m['aar']:.3f}")
+
+    path = os.path.join(args.workdir, "coord_reverse_probe.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=2)
+    log(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -239,14 +239,15 @@ def main(argv=None) -> int:
     # version of this script spent 10+ minutes where this spends seconds.
     n_designs = args.designs_per_target
 
-    def make_eval_fn(t_start, noise_scale=1.0, n_steps=None):
+    def make_eval_fn(t_start, noise_scale=1.0, n_steps=None, **skw):
         def _eval(params, one, rep, cdr_idx, key):
             # shared-context fan-out: n designs of the one target, pair
             # tensors read once (round-2 flagship path); metrics compare
             # against the n-row replicated native batch
             res = harness.sample(params, one, key, t_start=t_start,
                                  noise_scale=noise_scale,
-                                 n_designs=n_designs, n_steps=n_steps)
+                                 n_designs=n_designs, n_steps=n_steps,
+                                 **skw)
             m = evaluate_designs(
                 res, rep, coord_scale=COORD_SCALE,
                 cdr_idx=cdr_idx, cdrs=tuple(args.cdrs), align=False,
@@ -293,6 +294,11 @@ def main(argv=None) -> int:
         # quality cost measured next to the full-length chain
         "codesign_precise_25step": make_eval_fn(None, noise_scale=0.0,
                                                 n_steps=25),
+        # the round-3 stochastic recipe: full posterior noise, but only
+        # after the deterministic high-t transport (scatter mechanism
+        # diagnosed + killed, DESIGN.md round-3 scatter study: ns=1.0
+        # scatter fraction 0.297 -> 0.021 with AAR/median unchanged)
+        "codesign_ntmax50": make_eval_fn(None, noise_t_max=50),
         "optimize": make_eval_fn(args.t_restart),
     }
 

@@ -190,3 +190,93 @@ class TestFewStepSampler:
         d_full = np.abs(np.asarray(full.translations) - np.asarray(batch.translations))[gen].mean()
         d_few = np.abs(np.asarray(few.translations) - np.asarray(batch.translations))[gen].mean()
         assert d_few < max(3.0 * d_full, 0.5)
+
+
+class TestCoordReverseModes:
+    """Round-3 scatter mitigation: mode="ddim" and the hybrid/high-t knobs
+    (probe_scatter.py localized the scattered-design mechanism to frozen
+    high-t translation transport; coordinate.py reverse_step docs)."""
+
+    def _inputs(self, harness, batch, t_val=40):
+        gen = batch.generation_mask & batch.residue_mask
+        x_t = batch.translations + 0.3
+        eps_hat = jnp.ones_like(x_t) * 0.1
+        t = jnp.full((2,), t_val, jnp.int32)
+        return gen, x_t, eps_hat, t
+
+    def test_ddim_equals_posterior_at_noise_scale_one(self, harness, batch):
+        """The variance identity makes the two parameterizations identical
+        at noise_scale = 1 (the exact DDPM posterior)."""
+        gen, x_t, eps_hat, t = self._inputs(harness, batch)
+        key = jax.random.key(11)
+        a = coordinate.reverse_step(
+            key, harness.sched, x_t, eps_hat, t, gen, noise_scale=1.0,
+            mode="posterior",
+        )
+        b = coordinate.reverse_step(
+            key, harness.sched, x_t, eps_hat, t, gen, noise_scale=1.0,
+            mode="ddim",
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_ddim_ns0_preserves_marginal_radius(self, harness, batch):
+        """With eps_hat = the true carried residual, the deterministic DDIM
+        step keeps the residual at the marginal radius sqrt(1-abar_s),
+        while the posterior mean contracts it (the freeze mechanism)."""
+        sched = harness.sched
+        gen = jnp.ones_like(batch.generation_mask)
+        x0 = jnp.zeros_like(batch.translations)
+        eps = jax.random.normal(jax.random.key(3), x0.shape)
+        t_val, s_val = 90, 70
+        t = jnp.full((2,), t_val, jnp.int32)
+        s = jnp.full((2,), s_val, jnp.int32)
+        abar = np.asarray(sched.alpha_bar, np.float64)
+        x_t = (
+            np.sqrt(abar[t_val]) * x0 + np.sqrt(1 - abar[t_val]) * eps
+        ).astype(jnp.float32)
+        key = jax.random.key(4)
+        for mode, expected_coef in (
+            ("ddim", np.sqrt(1 - abar[s_val])),
+            ("posterior",
+             np.sqrt(abar[t_val] / abar[s_val]) * (1 - abar[s_val])
+             / (1 - abar[t_val]) * np.sqrt(1 - abar[t_val])),
+        ):
+            x_s = coordinate.reverse_step(
+                key, sched, x_t, eps, t, gen, noise_scale=0.0, s=s,
+                mode=mode,
+            )
+            resid = np.asarray(x_s) - np.sqrt(abar[s_val]) * np.asarray(x0)
+            np.testing.assert_allclose(
+                resid, expected_coef * np.asarray(eps), rtol=1e-4, atol=1e-5
+            )
+        assert np.sqrt(1 - abar[s_val]) > (
+            np.sqrt(abar[t_val] / abar[s_val]) * (1 - abar[s_val])
+            / np.sqrt(1 - abar[t_val])
+        )
+
+    def test_sampler_hybrid_and_hight_schedule_run(self, harness, batch, state):
+        """Smoke: the sampler knobs compose with few-step + fan-out and keep
+        context clamped."""
+        res = harness.sample(
+            state.params, batch, jax.random.key(9), n_steps=8,
+            noise_scale=0.0, coord_ddim_t_min=50, step_schedule="hight",
+        )
+        assert bool(jnp.all(jnp.isfinite(res.translations)))
+        ctx = ~(batch.generation_mask & batch.residue_mask)
+        np.testing.assert_array_equal(
+            np.asarray(res.translations)[np.asarray(ctx)],
+            np.asarray(batch.translations)[np.asarray(ctx)],
+        )
+
+    def test_hight_schedule_denser_at_high_t(self):
+        """The 'hight' t-subsequence must start at t_start, end at 1, be
+        strictly descending, and have smaller early jumps than late ones."""
+        t_start, n_steps = 100, 25
+        u = np.linspace(0.0, 1.0, n_steps)
+        t_seq = np.unique(
+            np.round(1.0 + (t_start - 1.0) * np.sqrt(1.0 - u)).astype(np.int64)
+        )[::-1]
+        assert t_seq[0] == t_start and t_seq[-1] == 1
+        jumps = -np.diff(t_seq)
+        assert np.all(jumps > 0)
+        assert jumps[:3].mean() < jumps[-3:].mean()
