@@ -126,6 +126,16 @@ def main(argv=None) -> int:
         "ns0_25_hight80": make_fn(noise_scale=0.0, n_steps=25,
                                   step_schedule="hight",
                                   step_schedule_p=0.8),
+        # orientation posterior reverse (diffusion/orientation.py
+        # mode="posterior", the rotational beta-tilde analogue): the
+        # DiffAb-paper "renoise" heuristic redraws the full forward
+        # kernel at s every step, over-noising frames 3-6x at mid-t —
+        # does the posterior-matched chain help design quality, alone
+        # and composed with the coordinate-noise deferral?
+        "ns1_opost": make_fn(noise_scale=1.0,
+                             orientation_reverse="posterior"),
+        "ns1_ntmax50_opost": make_fn(noise_scale=1.0, noise_t_max=T // 2,
+                                     orientation_reverse="posterior"),
     }
 
     raw = {a: [] for a in arms}

@@ -114,15 +114,23 @@ def main(argv=None) -> int:
     log(f"restored checkpoint @ step {step}; {len(paths)} targets x {n}")
 
     sample_fns = {
-        ns: jax.jit(lambda p, b, k, _ns=ns: harness.sample(
+        f"ns={ns}": jax.jit(lambda p, b, k, _ns=ns: harness.sample(
             p, b, k, n_designs=n, noise_scale=_ns))
         for ns in args.noise_scales
     }
+    # the round-3 recommended stochastic recipe: coordinate noise only at
+    # t <= 50 (DESIGN.md scatter study).  Only COORDINATE noise is gated —
+    # the sequence chain keeps its full stochasticity — so diversity /
+    # coverage should match ns=1.0 while the scatter is gone; this arm
+    # verifies that directly.
+    sample_fns["ns=1.0,ntmax=50"] = jax.jit(
+        lambda p, b, k: harness.sample(
+            p, b, k, n_designs=n, noise_scale=1.0, noise_t_max=50))
 
     out = {"meta": {"workdir": args.workdir, "degeneracy": degeneracy,
                     "designs": n, "targets": len(paths),
                     "checkpoint_step": step, "cdrs": args.cdrs}}
-    for ns, fn in sample_fns.items():
+    for label, fn in sample_fns.items():
         rows = []
         for ti, path in enumerate(paths):
             stem = os.path.splitext(os.path.basename(path))[0]
@@ -162,8 +170,8 @@ def main(argv=None) -> int:
                 "diversity": div,
             })
         agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
-        out[f"ns={ns}"] = agg
-        log(f"ns={ns}: exact {agg['aar_exact']:.3f}, valid "
+        out[label] = agg
+        log(f"{label}: exact {agg['aar_exact']:.3f}, valid "
             f"{agg['aar_valid']:.3f}, coverage {agg['coverage']:.3f}, "
             f"diversity {agg['diversity']:.3f}")
 
