@@ -175,8 +175,11 @@ def sampler_hbm_bytes(cfg, b: int, L: int, T: int, n_designs: int = 1) -> float:
     Sampling is BANDWIDTH-bound on TPU (DESIGN.md §3), so MFU alone is the
     wrong roofline; this count makes the binding resource visible
     (round-1 VERDICT weak #1).  Exact for the dominant L^2 streams of the
-    default (Pallas-kernel) reverse scan; per-residue activation traffic is
-    a lumped estimate (±15% on the ~15% it contributes).
+    default (fused-layer Pallas) reverse scan; per-residue activation
+    traffic is a lumped estimate for the round-3 fused layer, which keeps
+    projections/frames/attention outputs in VMEM — only x, the
+    accumulator, the frames, and per-grid-cell weight re-fetches cross
+    HBM (models/ipa.py, ops/ipa_pallas.py fused_ipa_layer).
 
     Per IPA layer per reverse step, with b = bp * n_designs state rows over
     bp pair copies (the design fan-out shares pair/bias reads per target):
@@ -203,12 +206,16 @@ def sampler_hbm_bytes(cfg, b: int, L: int, T: int, n_designs: int = 1) -> float:
     # contribution crosses HBM as a d-wide tensor (target-major write +
     # design-major transpose round-trip), not as the h*dp-wide out_pair
     out_pair_write = 3 * b * L * d * 2
-    # lumped per-residue streams: x reads for 7 projections, QKV write+read,
-    # point-cloud frame transforms (write+read), partial projections
-    act = b * L * (
-        7 * d + 2 * 3 * h * ds + 4 * 3 * h * pq * 3
-        + h * (ds + 3 * pv + pv) + 2 * d
-    ) * 2
+    # Per-residue streams.  With the round-3 fused layer (the TPU
+    # default), projections / frame transforms / attention outputs /
+    # output-projection operands all live in VMEM: what crosses HBM is
+    # one x read, the accumulator write+read, the frames, and the weight
+    # blocks re-fetched per grid cell (db=4 designs per cell).
+    w_cols = 3 * h * ds + 2 * h * pq * 3 + h * pv * 3
+    out_rows = h * ds + h * pv * 3 + h * pv
+    w_bytes = (d * w_cols + out_rows * d) * 2
+    cells = max(b // 4, 1)
+    act = b * L * (3 * d + 12) * 2 + cells * w_bytes
     per_layer = pair_read + bias_read + attn_rt + out_pair_write + act
 
     # per denoiser call outside the layers: embedding fuse, heads, diffusion
@@ -253,7 +260,8 @@ def main():
     # (sample n_designs=N — pair tensor and bias logits read once per
     # target).  N=128 is the measured throughput peak on v5e (scripts/
     # bench_fanout.py: 301 vs 184 samples/s for the tiled replicate_batch
-    # path at the same width, and 253 at N=256).
+    # path at the same width; with the round-3 fused layer 428 at N=128
+    # and 395 at N=256 — scripts/bench_fused_layer.py).
     N_DESIGNS, L, T = 128, 128, cfg.diffusion.T
     one = synthetic_batch(jax.random.key(0), 1, L, cfg.model.n_atoms,
                           n_generate=8)
