@@ -67,6 +67,17 @@ class ModelConfig:
     # enables much larger training batches (HBM is the binding constraint
     # at b >= 64 with the (b, L, L, A^2) distance features).
     remat_ipa: bool = False
+    # Rematerialize the PAIR-EMBEDDING stack (jax.checkpoint around
+    # PairEmbedding): the training step is bandwidth-bound on pair-rank
+    # tensors (DESIGN.md round-3 sweep: ~23% BW attainment vs ~2.5% MFU),
+    # and the largest stored-for-backward intermediates are this module's
+    # (b, L, L, A^2) distance kernel / RBF-coef / feature-concat chains —
+    # ~1 GB of store+reload per step at batch 128.  Rematerializing them
+    # keeps the recompute inside fused backward kernels instead of a HBM
+    # round-trip, at the cost of one extra (cheap, elementwise-dominated)
+    # pair-embedding forward.  Numerics are identical (pinned in
+    # tests/test_harness.py).
+    remat_pair: bool = False
     # Self-conditioning (Chen et al. 2022 "Analog Bits"; used by
     # RFdiffusion): feed the PREVIOUS denoising step's clean-state estimate
     # (x0_hat in each residue's local frame + predicted p(s_0)) back into

@@ -37,7 +37,13 @@ class DiffAbModel(nn.Module):
 
     def setup(self):
         self.residue_context_embedding = ResidueEmbedding(self.cfg)
-        self.pair_context_embedding = PairEmbedding(self.cfg)
+        # remat_pair (config.py): recompute the pair stack's (b, L, L, A^2)
+        # intermediates in the backward instead of storing them — the
+        # training step's dominant HBM traffic (DESIGN.md §3).
+        pair_cls = (
+            nn.remat(PairEmbedding) if self.cfg.remat_pair else PairEmbedding
+        )
+        self.pair_context_embedding = pair_cls(self.cfg)
         self.denoiser = Denoiser(self.cfg)
 
     def encode_context(

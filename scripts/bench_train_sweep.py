@@ -62,13 +62,14 @@ def main(argv=None) -> int:
     dev = jax.devices()[0]
     pf, pb = peak_flops(dev), peak_hbm_bw(dev)
 
-    def measure(bsz, remat, pool=False):
+    def measure(bsz, remat, pool=False, remat_pair=False):
         cfg = tiny_config() if args.smoke else default_config()
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(
                 cfg.model,
                 compute_dtype=cfg.model.compute_dtype if args.smoke else "bfloat16",
                 remat_ipa=remat,
+                remat_pair=remat_pair,
             )
         )
         harness = DiffAb(cfg)
@@ -100,6 +101,7 @@ def main(argv=None) -> int:
         fl, by = train_model_flops(cfg, bsz, L), train_hbm_bytes(cfg, bsz, L)
         return {
             "batch_size": bsz, "remat": remat, "pool": pool,
+            "remat_pair": remat_pair,
             "steps_per_sec": round(sps, 3),
             "samples_per_sec": round(sps * bsz, 1),
             "train_tflops": round(fl * sps / 1e12, 2),
@@ -110,12 +112,15 @@ def main(argv=None) -> int:
         }
 
     rows = []
+    arms = ([(False, False)] if args.smoke
+            else [(False, False), (True, False), (False, True)])
     for bsz in args.batch_sizes:
-        for remat in ([False] if args.smoke else [False, True]):
+        for remat, rpair in arms:
             try:
-                r = measure(bsz, remat)
+                r = measure(bsz, remat, remat_pair=rpair)
             except Exception as e:  # e.g. OOM at large batch without remat
-                r = {"batch_size": bsz, "remat": remat, "pool": False,
+                r = {"batch_size": bsz, "remat": remat, "remat_pair": rpair,
+                     "pool": False,
                      "error": f"{type(e).__name__}: {str(e)[:200]}"}
             rows.append(r)
             log(json.dumps(r))

@@ -312,6 +312,47 @@ def test_remat_ipa_equivalence(batch):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-4)
 
 
+def test_remat_pair_equivalence(batch):
+    """remat_pair=True (config.py): the full-model forward and parameter
+    gradients are identical to the plain path — rematerializing the
+    pair-embedding stack is a memory/traffic schedule change only."""
+    import dataclasses
+
+    model = DiffAbModel(CFG)
+    model_r = DiffAbModel(dataclasses.replace(CFG, remat_pair=True))
+    beta = jnp.array([0.01, 0.4])
+    params = model.init(
+        jax.random.key(30), batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta,
+    )
+    # the lifted nn.remat does not change the parameter tree
+    params_r = model_r.init(
+        jax.random.key(30), batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta,
+    )
+    assert jax.tree.structure(params) == jax.tree.structure(params_r)
+
+    def loss(m, p):
+        out = m.apply(
+            p, batch, batch.seq_idx, batch.translations,
+            batch.orientations, beta,
+        )
+        return (
+            jnp.sum(out["translations_eps"] ** 2)
+            + jnp.sum(out["seq_posterior"] ** 2)
+        )
+
+    np.testing.assert_allclose(
+        float(loss(model_r, params)), float(loss(model, params)), rtol=1e-6
+    )
+    g = jax.grad(lambda p: loss(model, p))(params)
+    g_r = jax.grad(lambda p: loss(model_r, p))(params)
+    for a, b_ in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=2e-5, atol=1e-5
+        )
+
+
 def test_denoiser_se3_equivariance(batch):
     """Under a global rotation Q of the whole system (row convention:
     x' = x @ Q, O' = O @ Q), the full model's heads must transform as
