@@ -64,6 +64,12 @@ def parse_args(argv=None):
     p.add_argument("-s", "--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true",
                    help="Tiny model preset (BASELINE config #1)")
+    p.add_argument("--mode-dropout", type=float, default=0.0,
+                   help="Context-mode dropout: probability each that a "
+                        "training sample is presented as fix-structure / "
+                        "fix-sequence instead of codesign, so one "
+                        "checkpoint supports all three conditioning modes "
+                        "at sampling time (TrainConfig.mode_dropout)")
     p.add_argument("--self-conditioning", action="store_true",
                    help="Train with self-conditioning (feeds the previous "
                         "denoising estimate back in; ~1.3x step cost, "
@@ -98,6 +104,7 @@ def build_config(args) -> DiffAbConfig:
         seed=args.seed,
         val_pct=args.val_pct,
         checkpoint_dir=args.checkpoint_dir,
+        mode_dropout=args.mode_dropout,
     )
     cfg = dataclasses.replace(cfg, train=train)
     if args.bf16:

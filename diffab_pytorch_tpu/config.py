@@ -179,6 +179,17 @@ class TrainConfig:
     sc_onset_steps: int = 0
     sc_rate_warmup: int = 0
     sc_seq_loss_weight: float = 1.0
+    # Context-mode dropout: probability that a training sample is
+    # presented as fix-structure (geometry un-noised and fully visible,
+    # sequence-only supervision) and, with the same probability, as
+    # fix-sequence — the per-sample form of the reference's encode_context
+    # conditioning flags (diffab_pytorch.py:693-700).  0 trains pure
+    # codesign (the reference's only exercised mode), which leaves the
+    # fixed-modality SAMPLING modes out-of-distribution: measured 0.18 AAR
+    # for fix-structure sequence design from a codesign-only checkpoint vs
+    # 0.994 codesign AAR on the same corpus (QUALITY.md round 3).
+    # Must be <= 0.5 (the two fixed tasks partition [0, 2p)).
+    mode_dropout: float = 0.0
     seed: int = 42
     val_pct: float = 0.1
     log_every: int = 50

@@ -25,6 +25,7 @@ from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from diffab_pytorch_tpu.config import ModelConfig
 from diffab_pytorch_tpu.data.batch import ProteinBatch
@@ -51,14 +52,34 @@ class DiffAbModel(nn.Module):
         batch: ProteinBatch,
         generate_structure: bool = True,
         generate_sequence: bool = True,
+        structure_visible: jax.Array | None = None,
+        sequence_visible: jax.Array | None = None,
     ) -> Tuple[jax.Array, jax.Array]:
         """Compute (res_context_emb, pair_context_emb) from t0 ground truth.
 
         t-independent: computed once per sample and reused by every
-        denoising step (reference :680-724; SURVEY.md §3.3)."""
+        denoising step (reference :680-724; SURVEY.md §3.3).
+
+        A NOT-generated modality is visible context for ALL valid residues:
+        its context mask is `residue_mask` (not literally-everything — the
+        reference's None-mask also exposes padding rows and unguarded
+        chain-boundary dihedrals, a path its never-run training could not
+        exercise; DESIGN.md §2 #19).  The static `generate_*` flags set this
+        per batch; `structure_visible` / `sequence_visible` are the
+        per-SAMPLE (b,) form used by training-time context-mode dropout
+        (TrainConfig.mode_dropout), so one jitted step trains codesign,
+        fix-structure, and fix-sequence conditioning jointly."""
         context_mask = batch.residue_mask & ~batch.generation_mask
-        structure_ctx = context_mask if generate_structure else None
-        sequence_ctx = context_mask if generate_sequence else None
+
+        def ctx(flag: bool, visible: jax.Array | None) -> jax.Array:
+            if visible is not None:
+                return jnp.where(
+                    visible[:, None], batch.residue_mask, context_mask
+                )
+            return context_mask if flag else batch.residue_mask
+
+        structure_ctx = ctx(generate_structure, structure_visible)
+        sequence_ctx = ctx(generate_sequence, sequence_visible)
 
         res_emb = self.residue_context_embedding(
             batch.seq_idx,
@@ -127,6 +148,8 @@ class DiffAbModel(nn.Module):
         beta: jax.Array,
         generate_structure: bool = True,
         generate_sequence: bool = True,
+        structure_visible: jax.Array | None = None,
+        sequence_visible: jax.Array | None = None,
         sc_translations_x0: jax.Array | None = None,
         sc_seq_probs: jax.Array | None = None,
         sc_mask: jax.Array | None = None,
@@ -134,7 +157,9 @@ class DiffAbModel(nn.Module):
         """Full forward: encode context then denoise (used for init and as
         the single-step training forward)."""
         res_emb, pair_emb = self.encode_context(
-            batch, generate_structure, generate_sequence
+            batch, generate_structure, generate_sequence,
+            structure_visible=structure_visible,
+            sequence_visible=sequence_visible,
         )
         return self.denoise(
             seq_idx_t,

@@ -71,6 +71,12 @@ class DiffAb:
 
     def __init__(self, config: DiffAbConfig | None = None):
         self.config = config or DiffAbConfig()
+        if not 0.0 <= self.config.train.mode_dropout <= 0.5:
+            raise ValueError(
+                "TrainConfig.mode_dropout must be in [0, 0.5] "
+                f"(got {self.config.train.mode_dropout}): the two fixed-"
+                "modality tasks each take probability p out of [0, 2p)"
+            )
         self.model = DiffAbModel(self.config.model)
         d = self.config.diffusion
         self.sched: DiffusionSchedule = cosine_variance_schedule(
@@ -149,21 +155,31 @@ class DiffAb:
 
     # ------------------------------------------------------------------
     def add_noise(
-        self, key: jax.Array, batch: ProteinBatch, t: jax.Array
+        self, key: jax.Array, batch: ProteinBatch, t: jax.Array,
+        seq_generation_mask: jax.Array | None = None,
+        struct_generation_mask: jax.Array | None = None,
     ) -> NoisedSample:
         """Run all three forward diffusions at timestep t (reference
-        _add_noise, diffab_pytorch.py:778-806)."""
+        _add_noise, diffab_pytorch.py:778-806).
+
+        seq_generation_mask / struct_generation_mask override which
+        positions each modality noises (context-mode dropout: a visible
+        modality stays at t0, exactly what the fixed-modality sampler
+        feeds the denoiser).  Default: batch.generation_mask for both."""
+        sgm = (batch.generation_mask if seq_generation_mask is None
+               else seq_generation_mask)
+        stm = (batch.generation_mask if struct_generation_mask is None
+               else struct_generation_mask)
         k_seq, k_coord, k_orient = jax.random.split(key, 3)
         seq_idx_t, seq_posterior = sequence.diffuse_from_t0(
-            k_seq, self.sched, batch.seq_idx, t, batch.generation_mask,
+            k_seq, self.sched, batch.seq_idx, t, sgm,
             self.config.model.aa_vocab_size,
         )
         translations_t, translations_eps = coordinate.diffuse_from_t0(
-            k_coord, self.sched, batch.translations, t, batch.generation_mask
+            k_coord, self.sched, batch.translations, t, stm
         )
         orientations_t = orientation.diffuse_from_t0(
-            k_orient, self.orientation_tables, batch.orientations, t,
-            batch.generation_mask,
+            k_orient, self.orientation_tables, batch.orientations, t, stm,
         )
         return NoisedSample(
             t=t,
@@ -191,10 +207,34 @@ class DiffAb:
         element, noise, encode, denoise, three masked losses (reference
         _shared_step, diffab_pytorch.py:808-880).  `step` (traced or None)
         drives the self-conditioning schedule only."""
-        k_t, k_noise, k_sc = jax.random.split(key, 3)
+        k_t, k_noise, k_sc, k_mode = jax.random.split(key, 4)
         b = batch.batch_size
         t = jax.random.randint(k_t, (b,), 1, self.config.diffusion.T + 1)
-        noised = self.add_noise(k_noise, batch, t)
+
+        # Context-mode dropout (TrainConfig.mode_dropout = p): with
+        # probability p each, a sample is presented as fix-structure
+        # (geometry un-noised + fully visible, sequence-only supervision)
+        # or fix-sequence (the mirror) instead of codesign — so ONE
+        # checkpoint supports all three of the reference's conditioning
+        # modes (encode_context flags, diffab_pytorch.py:693-700) at
+        # sampling time.  Measured necessity: a codesign-only checkpoint
+        # scores 0.18 AAR in fix-structure sampling (QUALITY.md round 3) —
+        # the fixed-modality context configurations are out-of-distribution
+        # unless trained.
+        p = self.config.train.mode_dropout
+        if p > 0.0:
+            u = jax.random.uniform(k_mode, (b,))
+            struct_visible = u < p  # fix-structure samples
+            seq_visible = (u >= p) & (u < 2.0 * p)  # fix-sequence samples
+            seq_gen = batch.generation_mask & ~seq_visible[:, None]
+            struct_gen = batch.generation_mask & ~struct_visible[:, None]
+        else:
+            struct_visible = seq_visible = None
+            seq_gen = struct_gen = None
+        noised = self.add_noise(
+            k_noise, batch, t,
+            seq_generation_mask=seq_gen, struct_generation_mask=struct_gen,
+        )
 
         if self.config.model.self_conditioning:
             # Self-conditioning (config.py): a stop-gradient first pass
@@ -211,7 +251,9 @@ class DiffAb:
             from diffab_pytorch_tpu.models.ipa import precompute_pair_biases
 
             res_emb, pair_emb = self.model.apply(
-                params, batch, method="encode_context"
+                params, batch, method="encode_context",
+                structure_visible=struct_visible,
+                sequence_visible=seq_visible,
             )
             pair_biases = precompute_pair_biases(
                 params["params"]["denoiser"]["ipa"], pair_emb
@@ -239,6 +281,10 @@ class DiffAb:
                 first["translations_eps"], t,
             )
             sc_mask = jax.random.bernoulli(k_sc, self._sc_rate(step), (b,))
+            if struct_visible is not None:
+                # the structure estimate is meaningless (and the implied
+                # x0_hat ill-conditioned) when the geometry is fixed
+                sc_mask = sc_mask & ~struct_visible
             denoised = denoise(
                 sc_translations_x0=jax.lax.stop_gradient(x0_hat),
                 sc_seq_probs=jax.lax.stop_gradient(first["seq_posterior"]),
@@ -252,6 +298,8 @@ class DiffAb:
                 noised.translations_t,
                 noised.orientations_t,
                 noised.beta,
+                structure_visible=struct_visible,
+                sequence_visible=seq_visible,
             )
         # The head predicts p_hat(s_0); the KL's predicted distribution is
         # the derived posterior q(s_{t-1}|s_t, p_hat(s_0)) — the SAME
@@ -259,7 +307,7 @@ class DiffAb:
         # agree (DESIGN.md §2 #15).
         seq_log_posterior_pred = sequence.log_posterior_from_predicted_t0(
             self.sched, noised.seq_idx_t, denoised["seq_posterior"], t,
-            batch.generation_mask,
+            seq_gen if seq_gen is not None else batch.generation_mask,
         )
         seq_w = None
         if (self.config.model.self_conditioning
@@ -277,6 +325,8 @@ class DiffAb:
             seq_idx_t0_true=batch.seq_idx,
             seq_ce_weight=self.config.train.seq_ce_weight,
             seq_sample_weight=seq_w,
+            seq_gen_mask=seq_gen,
+            struct_gen_mask=struct_gen,
         )
         return losses["loss"], losses
 

@@ -68,6 +68,8 @@ def diffab_losses(
     seq_idx_t0_true: jax.Array | None = None,  # (b, L) — for the CE term
     seq_ce_weight: float = 0.0,
     seq_sample_weight: jax.Array | None = None,  # (b,) — per-sample weight
+    seq_gen_mask: jax.Array | None = None,  # (b, L) — seq-term positions
+    struct_gen_mask: jax.Array | None = None,  # (b, L) — geometry-term positions
 ) -> Dict[str, jax.Array]:
     """The three DiffAb losses with the shared masked-mean reduction, plus
     the optional D3PM hybrid cross-entropy on the predicted p_hat(s_0).
@@ -81,8 +83,20 @@ def diffab_losses(
     t — which is what makes full-length sequence generation recover the
     native sequence (QUALITY.md).  seq_ce_weight=0 reproduces the
     reference's pure-KL objective (diffab_pytorch.py:857-859)."""
-    loss_mask = (generation_mask & residue_mask).astype(jnp.float32)
+    # Per-modality generation masks (context-mode dropout,
+    # TrainConfig.mode_dropout): a sample trained as fix-structure has its
+    # geometry un-noised and fully visible — supervising eps/orientation
+    # there would regress the heads onto meaningless targets — and
+    # symmetrically for fix-sequence and the KL/CE terms.  Defaults keep
+    # the reference's single-mask reduction.
+    if struct_gen_mask is None:
+        struct_gen_mask = generation_mask
+    if seq_gen_mask is None:
+        seq_gen_mask = generation_mask
+    loss_mask = (struct_gen_mask & residue_mask).astype(jnp.float32)
     denom = jnp.maximum(loss_mask.sum(), 1.0)
+    seq_loss_mask = (seq_gen_mask & residue_mask).astype(jnp.float32)
+    seq_loss_denom = jnp.maximum(seq_loss_mask.sum(), 1.0)
 
     # Optional per-sample re-weighting of the SEQUENCE terms only (KL and
     # CE; geometry losses keep the uniform reduction).  Weighted-mean
@@ -91,10 +105,12 @@ def diffab_losses(
     # schedule (TrainConfig.sc_seq_loss_weight) to keep the barcode-rule
     # gradient dominated by the unconditioned half.
     if seq_sample_weight is not None:
-        seq_mask = loss_mask * seq_sample_weight[:, None].astype(jnp.float32)
+        seq_mask = seq_loss_mask * seq_sample_weight[:, None].astype(
+            jnp.float32
+        )
         seq_denom = jnp.maximum(seq_mask.sum(), 1.0)
     else:
-        seq_mask, seq_denom = loss_mask, denom
+        seq_mask, seq_denom = seq_loss_mask, seq_loss_denom
 
     seq_elem = kl_divergence_from_log_probs(
         seq_log_posterior_pred, seq_posterior_true

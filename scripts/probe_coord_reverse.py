@@ -126,6 +126,16 @@ def main(argv=None) -> int:
         "ns0_25_hight80": make_fn(noise_scale=0.0, n_steps=25,
                                   step_schedule="hight",
                                   step_schedule_p=0.8),
+        # few-step x deferred-noise composition (round 3): if a 50- or
+        # 25-step chain with noise_t_max holds full-chain quality, the
+        # effective design throughput doubles/quadruples — the few-step
+        # scatter (big respaced jumps) and the full-length scatter
+        # (high-t noise) are different mechanisms, so measure the combo.
+        "ns0_50_base": make_fn(noise_scale=0.0, n_steps=50),
+        "ns1_50_ntmax50": make_fn(noise_scale=1.0, n_steps=50,
+                                  noise_t_max=T // 2),
+        "ns1_25_ntmax50": make_fn(noise_scale=1.0, n_steps=25,
+                                  noise_t_max=T // 2),
         # orientation posterior reverse (diffusion/orientation.py
         # mode="posterior", the rotational beta-tilde analogue): the
         # DiffAb-paper "renoise" heuristic redraws the full forward

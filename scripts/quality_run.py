@@ -88,6 +88,15 @@ def parse_args(argv=None):
     p.add_argument("--sc-seq-loss-weight", type=float, default=1.0,
                    help="Sequence-loss weight on the conditioned half "
                         "(<1 keeps the seq head's gradient cold-dominated)")
+    p.add_argument("--mode-dropout", type=float, default=0.0,
+                   help="Context-mode dropout: probability each that a "
+                        "training sample is presented as fix-structure / "
+                        "fix-sequence instead of codesign "
+                        "(TrainConfig.mode_dropout)")
+    p.add_argument("--eval-fixed-modes", action="store_true",
+                   help="Also evaluate the fix-structure (sequence design) "
+                        "and fix-sequence (structure design) sampling modes "
+                        "— meaningful on --mode-dropout checkpoints")
     p.add_argument("--seq-degeneracy", type=int, default=1,
                    help="Valid residues per (loop position, slot value) "
                         "in the corpus (>1 makes diversity measurable — "
@@ -222,6 +231,7 @@ def main(argv=None) -> int:
             sc_onset_steps=args.sc_onset,
             sc_rate_warmup=args.sc_rate_warmup,
             sc_seq_loss_weight=args.sc_seq_loss_weight,
+            mode_dropout=args.mode_dropout,
         ),
     )
     harness = DiffAb(cfg)
@@ -240,6 +250,11 @@ def main(argv=None) -> int:
     n_designs = args.designs_per_target
 
     def make_eval_fn(t_start, noise_scale=1.0, n_steps=None, **skw):
+        gen_flags = dict(
+            generate_structure=skw.get("generate_structure", True),
+            generate_sequence=skw.get("generate_sequence", True),
+        )
+
         def _eval(params, one, rep, cdr_idx, key):
             # shared-context fan-out: n designs of the one target, pair
             # tensors read once (round-2 flagship path); metrics compare
@@ -275,6 +290,7 @@ def main(argv=None) -> int:
             # against ca_rmsd_best_of_n, the ground-truth oracle)
             sc = harness.score_designs(
                 params, one, res, jax.random.fold_in(key, 12345),
+                **gen_flags,
             )
             m["rank_spearman"] = spearman_corr(sc.score, m["ca_rmsd"])
             top1 = jnp.argmin(sc.score)
@@ -301,6 +317,18 @@ def main(argv=None) -> int:
         "codesign_ntmax50": make_eval_fn(None, noise_t_max=50),
         "optimize": make_eval_fn(args.t_restart),
     }
+    if args.eval_fixed_modes:
+        # the reference's two fixed-modality conditioning modes
+        # (encode_context flags, diffab_pytorch.py:693-700): sequence
+        # design on fixed geometry, and structure design on fixed
+        # sequence.  RMSD is trivially ~0 for fix_structure and AAR
+        # trivially 1 for fix_sequence — read the other column.
+        eval_fns["fix_structure"] = make_eval_fn(
+            None, generate_structure=False
+        )
+        eval_fns["fix_sequence"] = make_eval_fn(
+            None, generate_sequence=False, noise_t_max=50
+        )
 
     def eval_params(params, label):
         """Sample n_designs per target, both val splits, all modes."""
