@@ -111,8 +111,19 @@ def score_designs(
              a uniform [1, T] grid and 0.20 / 4.7 for [3T/4, T]; the
              translations term carries most of the signal (alone: 0.70),
              seq/orientation terms alone discriminate poorly but do not
-             hurt.  For sequence-only (fix-structure) designs consider a
-             wider grid — the seq CE saturates at very low t.
+             hurt.  Per-mode measurements (round 3, 24 val_combo targets
+             x 8 designs per checkpoint, scripts/probe_ranking.py):
+             fix-sequence (structure design) ranks well with the SAME
+             default — rho 0.66-0.78 / top-1 within 0.03-0.05 A of
+             oracle across two checkpoints; every grid placement scores
+             within noise of it, so no mode-specific grid is warranted.
+             fix-structure (sequence design) needs no ranking on a
+             mode-dropout-trained checkpoint (unranked 1-AAR ~ 0.001 —
+             nothing to discriminate) and CANNOT be rescued by any grid
+             on a codesign-only checkpoint (rho |<=| 0.15 at low/mid/
+             uniform/high grids and 4 draws: the designs are
+             out-of-distribution, a training defect, not a scoring one —
+             train with TrainConfig.mode_dropout instead).
     n_draws: independent noise draws per grid point (2 by default;
              4 measured rho 0.78 for 2x the cost).
 
