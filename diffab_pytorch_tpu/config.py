@@ -68,15 +68,16 @@ class ModelConfig:
     # at b >= 64 with the (b, L, L, A^2) distance features).
     remat_ipa: bool = False
     # Rematerialize the PAIR-EMBEDDING stack (jax.checkpoint around
-    # PairEmbedding): the training step is bandwidth-bound on pair-rank
-    # tensors (DESIGN.md round-3 sweep: ~23% BW attainment vs ~2.5% MFU),
-    # and the largest stored-for-backward intermediates are this module's
-    # (b, L, L, A^2) distance kernel / RBF-coef / feature-concat chains —
-    # ~1 GB of store+reload per step at batch 128.  Rematerializing them
-    # keeps the recompute inside fused backward kernels instead of a HBM
-    # round-trip, at the cost of one extra (cheap, elementwise-dominated)
-    # pair-embedding forward.  Numerics are identical (pinned in
-    # tests/test_harness.py).
+    # PairEmbedding).  Hypothesis: the train step is bandwidth-bound on
+    # pair-rank tensors (~23% BW attainment vs ~2.5% MFU), so skipping the
+    # store+reload of the (b, L, L, A^2) distance-kernel intermediates
+    # should help.  MEASURED DEAD END on v5e (runs/train_sweep.json,
+    # DESIGN.md): 20-29% SLOWER at every batch 16-256 (e.g. 624 vs 784
+    # samples/s @ b128) — the recompute streams the same pair-rank tensors
+    # a second time, and XLA's fused backward evidently does not
+    # materialize them all to begin with.  Kept (OFF) as the recorded
+    # experiment + for memory-constrained future configs; numerics are
+    # identical (tests/test_modules.py test_remat_pair_equivalence).
     remat_pair: bool = False
     # Self-conditioning (Chen et al. 2022 "Analog Bits"; used by
     # RFdiffusion): feed the PREVIOUS denoising step's clean-state estimate
