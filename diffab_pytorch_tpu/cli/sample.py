@@ -72,7 +72,12 @@ def parse_args(argv=None):
                         "transport).  Cuts the ns=1.0 scattered-design "
                         "fraction 14x with AAR/median unchanged "
                         "(DESIGN.md round-3 scatter study; 50 is the "
-                        "measured sweet spot on T=100)")
+                        "measured sweet spot on T=100).  Default: AUTO — "
+                        "T//2 for full-length stochastic chains, off for "
+                        "few-step chains (where it measures WORSE: the "
+                        "respaced-jump scatter mechanism wants the "
+                        "noise's dither) and for noise-scale 0.  Pass 0 "
+                        "to force it off, or an explicit threshold")
     p.add_argument("--step-schedule", choices=["uniform", "hight"],
                    default="uniform",
                    help="Few-step t-subsequence: 'uniform' striding or "
@@ -103,6 +108,25 @@ def parse_args(argv=None):
                         "each FASTA header / scores.json entry (rank 0 "
                         "= best)")
     return p.parse_args(argv)
+
+
+def resolve_noise_t_max(noise_t_max, *, T, n_steps, noise_scale):
+    """--noise-t-max auto rule (measured, DESIGN.md round-3 scatter study).
+
+    None (auto): full-length stochastic chains get the deferred-noise
+    recipe (T//2 — scatter fraction 14x lower, AAR/median unchanged);
+    few-step chains keep it OFF (the composition measures worse:
+    respaced-jump scatter wants the noise's dither), as do deterministic
+    (noise_scale=0) chains where it is a no-op.  0/negative forces off;
+    explicit positive values pass through.
+    """
+    if noise_t_max is None:
+        if n_steps is None and noise_scale > 0:
+            return T // 2
+        return None
+    if noise_t_max <= 0:
+        return None
+    return noise_t_max
 
 
 def main(argv=None) -> int:
@@ -142,13 +166,21 @@ def main(argv=None) -> int:
     params, step = ckpt_lib.restore_params(args.checkpoint_dir, template)
     print(f"[sample] restored checkpoint at step {step}")
 
+    noise_t_max = resolve_noise_t_max(
+        args.noise_t_max, T=cfg.diffusion.T, n_steps=args.n_steps,
+        noise_scale=args.noise_scale,
+    )
+    if noise_t_max is not None and args.noise_t_max is None:
+        print(f"[sample] deferred-noise recipe on: noise_t_max="
+              f"{noise_t_max} (pass --noise-t-max 0 to disable)")
+
     kwargs = dict(
         generate_structure=args.mode != "fix-structure",
         generate_sequence=args.mode != "fix-sequence",
         t_start=args.t_restart,
         n_steps=args.n_steps,
         noise_scale=args.noise_scale,
-        noise_t_max=args.noise_t_max,
+        noise_t_max=noise_t_max,
         step_schedule=args.step_schedule,
         orientation_reverse=args.orientation_reverse,
         x0_clip=(

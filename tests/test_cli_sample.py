@@ -249,3 +249,21 @@ def test_cli_sample_restores_sc_checkpoint(workdir):
     ])
     assert rc == 0
     assert (out / "design_0001.pdb").exists()
+
+
+def test_noise_t_max_auto_rule():
+    """The measured deferred-noise default (DESIGN.md round-3 scatter
+    study): T//2 for full-length stochastic chains only; few-step and
+    deterministic chains stay off; 0 forces off; explicit values pass."""
+    r = sample_cli.resolve_noise_t_max
+    # auto: full-length stochastic -> T//2
+    assert r(None, T=100, n_steps=None, noise_scale=1.0) == 50
+    # auto: few-step / deterministic -> off
+    assert r(None, T=100, n_steps=25, noise_scale=1.0) is None
+    assert r(None, T=100, n_steps=None, noise_scale=0.0) is None
+    # 0 / negative force off even on the recipe chain
+    assert r(0, T=100, n_steps=None, noise_scale=1.0) is None
+    assert r(-1, T=100, n_steps=None, noise_scale=1.0) is None
+    # explicit thresholds pass through everywhere
+    assert r(30, T=100, n_steps=25, noise_scale=1.0) == 30
+    assert r(30, T=100, n_steps=None, noise_scale=0.0) == 30
