@@ -78,6 +78,17 @@ def parse_args(argv=None):
                         "respaced-jump scatter mechanism wants the "
                         "noise's dither) and for noise-scale 0.  Pass 0 "
                         "to force it off, or an explicit threshold")
+    p.add_argument("--coord-solver", choices=["none", "ab2", "heun"],
+                   default="none",
+                   help="Higher-order coordinate solver for few-step "
+                        "chains (sampling/sampler.py coord_solver): 'ab2' "
+                        "second-order multistep (zero extra model evals), "
+                        "'heun' predictor-corrector (one extra eval per "
+                        "active step; bound the region with "
+                        "--coord-solver-t-min)")
+    p.add_argument("--coord-solver-t-min", type=int, default=0,
+                   help="Apply the solver correction only at steps with "
+                        "t above this threshold")
     p.add_argument("--step-schedule", choices=["uniform", "hight"],
                    default="uniform",
                    help="Few-step t-subsequence: 'uniform' striding or "
@@ -182,6 +193,8 @@ def main(argv=None) -> int:
         noise_scale=args.noise_scale,
         noise_t_max=noise_t_max,
         step_schedule=args.step_schedule,
+        coord_solver=args.coord_solver,
+        coord_solver_t_min=args.coord_solver_t_min,
         orientation_reverse=args.orientation_reverse,
         x0_clip=(
             None if str(args.x0_clip).lower() in ("none", "0")

@@ -178,6 +178,55 @@ def reverse_step(
     return jnp.where(generation_mask[..., None], x_prev, translations_t)
 
 
+def reverse_step_from_x0(
+    key: jax.Array,
+    sched: DiffusionSchedule,
+    translations_t: jax.Array,
+    x0_hat: jax.Array,
+    t: jax.Array,
+    generation_mask: jax.Array,
+    x0_clip: float | jax.Array | None = None,
+    noise_scale: float | jax.Array = 1.0,
+    s: jax.Array | None = None,
+) -> jax.Array:
+    """One posterior step q(x_s | x_t, x0_hat) given an EXPLICIT clean-state
+    estimate.
+
+    Same step as `reverse_step` (posterior-mean parameterization, respaced
+    s < t supported, x0 clipping, noise_scale) but the x0 estimate is an
+    input instead of being implied from eps_hat — the entry point for the
+    sampler's higher-order coordinate solvers (`sample(coord_solver=...)`),
+    which build a better x0 estimate (multistep extrapolation / a corrector
+    model eval) and still step with the error-contracting posterior mean
+    (the contraction is the measured reason the deterministic chain is
+    precise — see the parameterization note in `reverse_step`).
+
+    With x0_hat = predicted_x0(sched, x_t, eps_hat, t) this reproduces
+    `reverse_step(..., mode="posterior")` exactly (pinned in
+    tests/test_fewstep.py).
+    """
+    if isinstance(x0_clip, jax.Array) and x0_clip.ndim == 1:
+        x0_clip = x0_clip[..., None, None]
+    if s is None:
+        s = t - 1
+    one_minus_abar = sched.one_minus_alpha_bar_sqrt[t][..., None, None] ** 2
+    abar = sched.alpha_bar[t][..., None, None]
+    abar_prev = sched.alpha_bar[s][..., None, None]
+    alpha = abar / abar_prev  # alpha_ts
+    beta = 1.0 - alpha  # beta_ts
+    beta_tilde = (1.0 - abar_prev) / one_minus_abar * beta
+    if x0_clip is not None:
+        x0_hat = jnp.clip(x0_hat, -x0_clip, x0_clip)
+    mean = (
+        jnp.sqrt(abar_prev) * beta * x0_hat
+        + jnp.sqrt(alpha) * (1.0 - abar_prev) * translations_t
+    ) / one_minus_abar
+    sigma = noise_scale * jnp.sqrt(jnp.maximum(beta_tilde, 0.0))
+    noise = jax.random.normal(key, translations_t.shape, dtype=translations_t.dtype)
+    x_prev = mean + sigma * noise
+    return jnp.where(generation_mask[..., None], x_prev, translations_t)
+
+
 def predicted_x0(
     sched: DiffusionSchedule,
     translations_t: jax.Array,

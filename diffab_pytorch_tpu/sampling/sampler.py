@@ -39,6 +39,50 @@ from diffab_pytorch_tpu.diffusion.schedule import DiffusionSchedule
 from diffab_pytorch_tpu.models.diffab import DiffAbModel
 
 
+def anchor_chord(
+    x: jax.Array,
+    residue_idx: jax.Array,
+    chain_idx: jax.Array,
+    residue_mask: jax.Array,
+    generation_mask: jax.Array,
+) -> jax.Array:
+    """Anchor-anchor chord guess for generated spans.
+
+    For each generated residue, linearly interpolate (by residue index)
+    between the nearest preceding and following CONTEXT residues of the
+    same chain — the straight chord between the anchors that flank the
+    designed loop, the same structural prior as relax.py's
+    chord-initialization pre-pass.  Returns (x_chord, has_anchors):
+    generated residues without both anchors (e.g. a terminal run) keep
+    their input value and report has_anchors False so the caller can fall
+    back to the prior; context residues always keep their input.
+
+    Built from context positions only — usable at design time with no
+    ground truth.  O(L^2) one-off, outside the reverse scan.
+    """
+    gm = generation_mask & residue_mask
+    ctx = residue_mask & ~generation_mask
+    same_chain = (
+        chain_idx[:, :, None] == chain_idx[:, None, :]
+    ) & residue_mask[:, None, :]
+    ri = residue_idx.astype(jnp.float32)
+    dseq = residue_idx[:, None, :] - residue_idx[:, :, None]  # j - i
+    big = jnp.float32(1e9)
+    prev_cand = same_chain & ctx[:, None, :] & (dseq < 0)
+    next_cand = same_chain & ctx[:, None, :] & (dseq > 0)
+    prev_idx = jnp.argmax(jnp.where(prev_cand, ri[:, None, :], -big), axis=2)
+    next_idx = jnp.argmin(jnp.where(next_cand, ri[:, None, :], big), axis=2)
+    has = prev_cand.any(axis=2) & next_cand.any(axis=2)
+    takes = lambda a, idx: jnp.take_along_axis(a, idx[..., None], axis=1)
+    ri_prev = jnp.take_along_axis(ri, prev_idx, axis=1)
+    ri_next = jnp.take_along_axis(ri, next_idx, axis=1)
+    frac = (ri - ri_prev) / jnp.maximum(ri_next - ri_prev, 1.0)
+    chord = takes(x, prev_idx) + frac[..., None] * (
+        takes(x, next_idx) - takes(x, prev_idx)
+    )
+    return jnp.where((gm & has)[..., None], chord, x), gm & has
+
+
 @flax.struct.dataclass
 class SampleResult:
     """Designed sequence + backbone for every residue (context residues keep
@@ -77,6 +121,9 @@ def sample(
     noise_t_max: int | None = None,
     step_schedule: str = "uniform",
     step_schedule_p: float = 0.5,
+    coord_solver: str = "none",
+    coord_solver_t_min: int = 0,
+    init: str = "prior",
 ) -> SampleResult:
     """Run the full reverse loop.  jit-compatible (flags, t_start and
     n_designs are Python-static).
@@ -160,6 +207,48 @@ def sample(
                          scatter 0.250 -> 0.188 and AAR -> 1.000 on the
                          25-step chain, at a median cost 0.32 -> 0.82 A —
                          p trades the two.
+    coord_solver:        higher-order coordinate solver for few-step
+                         chains ("none" default).  Respaced-chain scatter
+                         is driven by the JUMP SIZE amplifying eps_hat
+                         bias (DESIGN.md round-3 scatter study), so both
+                         solvers build a better x0 estimate for the jump
+                         and still step with the error-contracting
+                         posterior mean (reverse_step_from_x0 — the DDIM
+                         residual carry is a measured dead end here):
+                         "ab2"   second-order multistep (DPM-Solver++(2M)-
+                                 style midpoint extrapolation of the x0
+                                 prediction in log-SNR time, using the
+                                 previous step's estimate) — ZERO extra
+                                 model evals;
+                         "heun"  predictor-corrector: re-evaluate the
+                                 denoiser at the predicted landing point
+                                 (x_s_pred, s) and average the two x0
+                                 estimates — one extra model eval per
+                                 active step.
+    coord_solver_t_min:  apply the solver correction only at steps with
+                         t > this threshold (default 0 = all steps; the
+                         final s=0 step is always first-order).  For
+                         "heun" this bounds the extra model evals to the
+                         high-t region where the jumps are stiff.
+    init:                "prior" (default) or "chord".  "chord" is
+                         GENERATION from a structural prior instead of
+                         pure noise: the designed coordinates start from
+                         the forward-noised anchor-anchor chord
+                         q(x_{t_start} | chord) — the straight line
+                         between the context residues flanking each
+                         designed span (`anchor_chord`; built from
+                         context only, no ground truth) — while sequence
+                         and orientations start from their priors.  The
+                         scatter diagnosis motivates it: scattered chains
+                         NEVER enter the basin during high-t transport,
+                         so starting transport at t_start < T from the
+                         chord (where CDR loops geometrically live)
+                         removes most of the transport problem at zero
+                         extra model evals.  Pair with t_start < T
+                         (e.g. 3T/4); at t_start = T the chord signal
+                         sqrt(abar_T) ~ 0 makes it the prior.  Unlike
+                         plain t-restart, the batch's own CDR coordinates
+                         are ignored.
     """
     T = sched.T
     t_start = T if t_start is None else int(t_start)
@@ -170,6 +259,15 @@ def sample(
     n = int(n_designs)
     if n < 1:
         raise ValueError(f"n_designs must be >= 1, got {n}")
+    if coord_solver not in ("none", "ab2", "heun"):
+        raise ValueError(
+            f"coord_solver must be 'none', 'ab2' or 'heun', got {coord_solver!r}"
+        )
+    if coord_solver != "none" and coord_ddim_t_min is not None:
+        raise ValueError(
+            "coord_ddim_t_min composes only with coord_solver='none' "
+            "(the solvers already choose the step form)"
+        )
 
     b = batch.batch_size
     gen = batch.generation_mask & batch.residue_mask
@@ -216,9 +314,34 @@ def sample(
     )
 
     # 2. initialization
+    if init not in ("prior", "chord"):
+        raise ValueError(f"init must be 'prior' or 'chord', got {init!r}")
     k_init, k_loop = jax.random.split(key)
     ks, kx, kr = jax.random.split(k_init, 3)
-    if t_start == T:
+    if init == "chord":
+        # generation from the structural prior: designed x from the
+        # forward-noised anchor chord, sequence/orientations from their
+        # priors.  Designed runs WITHOUT both anchors fall back to the
+        # coordinate prior — the batch's own CDR values are never read
+        # (no ground-truth leakage; pinned in tests/test_sampler.py)
+        x0_guess, has_anchors = anchor_chord(
+            x_ctx, rep(batch.residue_idx), rep(batch.chain_idx),
+            res_mask, struct_gen,
+        )
+        tvec = jnp.full((bn,), t_start, dtype=jnp.int32)
+        kx1, kx2 = jax.random.split(kx)
+        x_chord_t = coordinate.diffuse_from_t0(
+            kx1, sched, x0_guess, tvec, struct_gen & has_anchors,
+            return_eps=False,
+        )
+        x_prior = coordinate.sample_prior(kx2, x_ctx, struct_gen)
+        x_t = jnp.where(
+            (struct_gen & has_anchors)[..., None], x_chord_t, x_prior
+        )
+        seq_t = sequence.sample_prior(ks, seq_ctx, seq_gen,
+                                      model.cfg.aa_vocab_size)
+        r_t = orientation.sample_prior(kr, r_ctx, struct_gen)
+    elif t_start == T:
         seq_t = sequence.sample_prior(ks, seq_ctx, seq_gen,
                                       model.cfg.aa_vocab_size)
         x_t = coordinate.sample_prior(kx, x_ctx, struct_gen)
@@ -245,18 +368,26 @@ def sample(
     # through the scan (free at sampling time — the estimate is a
     # byproduct of every denoise call; config.py self_conditioning)
     sc_on = model.cfg.self_conditioning
+    ab2_on = coord_solver == "ab2"
+    if ab2_on:
+        # log-SNR table lambda(t) = 0.5 log(abar/(1-abar)); index 0 is
+        # clamped finite but never drives a correction (the s=0 step is
+        # gated first-order below)
+        abar_f = jnp.clip(sched.alpha_bar, 1e-12, 1.0 - 1e-12)
+        lam_tab = 0.5 * (jnp.log(abar_f) - jnp.log1p(-abar_f))
 
     def body(carry, t_pair):
         t, s_t = t_pair
+        (seq_t, x_t, r_t), extras = carry
+        extras_next = dict(extras)
         if sc_on:
-            (seq_t, x_t, r_t), (sc_x, sc_p, sc_flag) = carry
+            sc_x, sc_p, sc_flag = extras["sc"]
             if sc_t_max is not None:
                 sc_flag = sc_flag * (t <= sc_t_max)
             sc_kwargs = dict(
                 sc_translations_x0=sc_x, sc_seq_probs=sc_p, sc_mask=sc_flag
             )
         else:
-            seq_t, x_t, r_t = carry
             sc_kwargs = {}
         tvec = jnp.full((bn,), t, dtype=jnp.int32)
         svec = jnp.full((bn,), s_t, dtype=jnp.int32)
@@ -289,38 +420,90 @@ def sample(
             ns_t = noise_scale * (tvec <= noise_t_max).astype(x_t.dtype)[
                 :, None, None
             ]
-        x_next = coordinate.reverse_step(
-            k2, sched, x_t, denoised["translations_eps"], tvec, struct_gen,
-            x0_clip=x0_clip, noise_scale=ns_t, s=svec,
-        )
-        if coord_ddim_t_min is not None:
-            # hybrid: the same key drives both arms so the noise draw is
-            # aligned; the switch is a per-step where (t is traced)
-            x_ddim = coordinate.reverse_step(
-                k2, sched, x_t, denoised["translations_eps"], tvec,
-                struct_gen, x0_clip=x0_clip, noise_scale=ns_t,
-                s=svec, mode="ddim",
-            )
-            x_next = jnp.where(
-                (tvec > coord_ddim_t_min)[:, None, None], x_ddim, x_next
-            )
         r_next = orientation.reverse_step(
             k3, tables, r_t, denoised["orientations_t0"], tvec, struct_gen,
             noise_scale=orientation_noise_scale, s=svec,
             mode=orientation_reverse,
         )
+        if coord_solver == "none":
+            x_next = coordinate.reverse_step(
+                k2, sched, x_t, denoised["translations_eps"], tvec,
+                struct_gen, x0_clip=x0_clip, noise_scale=ns_t, s=svec,
+            )
+            if coord_ddim_t_min is not None:
+                # hybrid: the same key drives both arms so the noise draw
+                # is aligned; the switch is a per-step where (t is traced)
+                x_ddim = coordinate.reverse_step(
+                    k2, sched, x_t, denoised["translations_eps"], tvec,
+                    struct_gen, x0_clip=x0_clip, noise_scale=ns_t,
+                    s=svec, mode="ddim",
+                )
+                x_next = jnp.where(
+                    (tvec > coord_ddim_t_min)[:, None, None], x_ddim, x_next
+                )
+        else:
+            # higher-order coordinate solvers (see coord_solver in the
+            # docstring): improve the x0 estimate the long respaced jump
+            # steps on, keep the error-contracting posterior-mean form
+            x0_hat = coordinate.predicted_x0(
+                sched, x_t, denoised["translations_eps"], tvec
+            )
+            if x0_clip is not None:
+                clip_b = (
+                    x0_clip[..., None, None]
+                    if isinstance(x0_clip, jax.Array) and x0_clip.ndim == 1
+                    else x0_clip
+                )
+                x0_hat = jnp.clip(x0_hat, -clip_b, clip_b)
+            active = (t > coord_solver_t_min) & (s_t >= 1)
+            if ab2_on:
+                x0_prev, lam_prev, have_prev = extras["ab2"]
+                lam_t, lam_s = lam_tab[t], lam_tab[s_t]
+                # midpoint extrapolation coefficient (DPM-Solver++(2M)):
+                # D = (1 + c) x0_t - c x0_prev,  c = h / (2 h_prev),
+                # h = lam_s - lam_t,  h_prev = lam_t - lam_prev (> 0)
+                c = (lam_s - lam_t) / (
+                    2.0 * jnp.maximum(lam_t - lam_prev, 1e-6)
+                )
+                c = jnp.where(active & have_prev, c, 0.0)
+                x0_use = (1.0 + c) * x0_hat - c * x0_prev
+                extras_next["ab2"] = (x0_hat, lam_t, jnp.ones((), bool))
+            else:  # heun
+                x_pred = coordinate.reverse_step_from_x0(
+                    k2, sched, x_t, x0_hat, tvec, struct_gen,
+                    x0_clip=x0_clip, noise_scale=0.0, s=svec,
+                )
+
+                def _corrector(_):
+                    d2 = model.apply(
+                        params, seq_next, x_pred, r_next, res_emb, pair_emb,
+                        sched.beta[svec], gen, res_mask,
+                        pair_biases=pair_biases, method="denoise",
+                        **sc_kwargs,
+                    )
+                    return coordinate.predicted_x0(
+                        sched, x_pred, d2["translations_eps"], svec
+                    )
+
+                x0_2 = jax.lax.cond(
+                    active, _corrector, lambda _: x0_hat, None
+                )
+                x0_use = jnp.where(active, 0.5 * (x0_hat + x0_2), x0_hat)
+            x_next = coordinate.reverse_step_from_x0(
+                k2, sched, x_t, x0_use, tvec, struct_gen,
+                x0_clip=x0_clip, noise_scale=ns_t, s=svec,
+            )
         ys = (seq_next, x_next, r_next) if return_trajectory else None
         state_next = (seq_next, x_next, r_next)
         if sc_on:
-            sc_next = (
+            extras_next["sc"] = (
                 coordinate.predicted_x0(
                     sched, x_t, denoised["translations_eps"], tvec
                 ),
                 denoised["seq_posterior"],
                 jnp.ones((bn,), jnp.float32),
             )
-            return (state_next, sc_next), ys
-        return state_next, ys
+        return (state_next, extras_next), ys
 
     if step_schedule not in ("uniform", "hight"):
         raise ValueError(
@@ -343,22 +526,24 @@ def sample(
             np.round(np.linspace(t_start, 1, n_steps)).astype(np.int64)
         )[::-1]
     s_seq = np.append(t_seq[1:], 0)  # each step jumps to the next t (or 0)
-    carry0 = (seq_t, x_t, r_t)
+    extras0 = {}
     if sc_on:
-        carry0 = (
-            carry0,
-            (
-                jnp.zeros_like(x_t),  # sc x0 estimate (none yet)
-                jnp.zeros(seq_t.shape + (model.cfg.aa_vocab_size,),
-                          x_t.dtype),
-                jnp.zeros((bn,), jnp.float32),  # sc flag: 0 = cold start
-            ),
+        extras0["sc"] = (
+            jnp.zeros_like(x_t),  # sc x0 estimate (none yet)
+            jnp.zeros(seq_t.shape + (model.cfg.aa_vocab_size,), x_t.dtype),
+            jnp.zeros((bn,), jnp.float32),  # sc flag: 0 = cold start
+        )
+    if ab2_on:
+        extras0["ab2"] = (
+            jnp.zeros_like(x_t),  # previous x0 estimate (none yet)
+            jnp.zeros((), x_t.dtype),  # previous lambda
+            jnp.zeros((), bool),  # have_prev: first step is first-order
         )
     final, ys = jax.lax.scan(
-        body, carry0,
+        body, ((seq_t, x_t, r_t), extras0),
         (jnp.asarray(t_seq, jnp.int32), jnp.asarray(s_seq, jnp.int32)),
     )
-    seq_0, x_0, r_0 = final[0] if sc_on else final
+    (seq_0, x_0, r_0), _ = final
 
     return SampleResult(
         seq_idx=seq_0,

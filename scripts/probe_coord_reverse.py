@@ -45,6 +45,9 @@ def parse_args(argv=None):
     p.add_argument("--scatter-thresh", type=float, default=2.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--arms", nargs="*", default=None,
+                   help="Run only these arms (substring match); default all."
+                        "  Results merge into an existing probe JSON.")
     return p.parse_args(argv)
 
 
@@ -146,7 +149,53 @@ def main(argv=None) -> int:
                              orientation_reverse="posterior"),
         "ns1_ntmax50_opost": make_fn(noise_scale=1.0, noise_t_max=T // 2,
                                      orientation_reverse="posterior"),
+        # higher-order coordinate solvers (sampler coord_solver, round 3):
+        # respaced-jump scatter is eps_hat bias amplified by the JUMP SIZE
+        # — a second-order x0 estimate attacks it directly.  "ab2" costs
+        # zero extra model evals; "heun" adds one eval per active step
+        # (tN variants bound the extra evals to the stiff high-t region).
+        "ns0_25_ab2": make_fn(noise_scale=0.0, n_steps=25,
+                              coord_solver="ab2"),
+        "ns0_25_heun": make_fn(noise_scale=0.0, n_steps=25,
+                               coord_solver="heun"),
+        "ns0_25_heun_t40": make_fn(noise_scale=0.0, n_steps=25,
+                                   coord_solver="heun",
+                                   coord_solver_t_min=2 * T // 5),
+        "ns0_25_ab2_hight": make_fn(noise_scale=0.0, n_steps=25,
+                                    coord_solver="ab2",
+                                    step_schedule="hight"),
+        "ns0_50_ab2": make_fn(noise_scale=0.0, n_steps=50,
+                              coord_solver="ab2"),
+        "ns0_10_ab2": make_fn(noise_scale=0.0, n_steps=10,
+                              coord_solver="ab2"),
+        "ns0_10_heun": make_fn(noise_scale=0.0, n_steps=10,
+                               coord_solver="heun"),
+        # chord-start generation (sampler init="chord", round 3): start
+        # the designed coordinates from the forward-noised anchor-anchor
+        # chord at t_start < T instead of pure noise at T — the scatter
+        # diagnosis says failures happen during high-t transport, so skip
+        # most of it.  Zero extra model evals; composes with few-step.
+        "ns0_25_chord75": make_fn(noise_scale=0.0, n_steps=25,
+                                  init="chord", t_start=3 * T // 4),
+        "ns0_25_chord85": make_fn(noise_scale=0.0, n_steps=25,
+                                  init="chord", t_start=85 * T // 100),
+        "ns0_10_chord60": make_fn(noise_scale=0.0, n_steps=10,
+                                  init="chord", t_start=6 * T // 10),
+        "ns0_50_chord75": make_fn(noise_scale=0.0, n_steps=50,
+                                  init="chord", t_start=3 * T // 4),
+        "ns1_chord75_ntmax50": make_fn(noise_scale=1.0, init="chord",
+                                       t_start=3 * T // 4,
+                                       noise_t_max=T // 2),
+        "ns1_25_chord75_ntmax50": make_fn(noise_scale=1.0, n_steps=25,
+                                          init="chord", t_start=3 * T // 4,
+                                          noise_t_max=T // 2),
     }
+    if args.arms:
+        arms = {a: fn for a, fn in arms.items()
+                if any(sel in a for sel in args.arms)}
+        if not arms:
+            raise SystemExit(f"--arms matched nothing: {args.arms}")
+        log(f"running {len(arms)} arms: {list(arms)}")
 
     raw = {a: [] for a in arms}
     for vi in range(len(ds)):
@@ -158,11 +207,16 @@ def main(argv=None) -> int:
         if vi == 0:
             log("first target done (compiles paid)")
 
-    out = {"meta": {
+    path = os.path.join(args.workdir, "coord_reverse_probe.json")
+    out = {}
+    if args.arms and os.path.exists(path):
+        with open(path) as fh:
+            out = json.load(fh)  # merge new arms into the existing probe
+    out["meta"] = {
         "workdir": args.workdir, "checkpoint_step": at_step,
         "targets": len(ds), "designs_per_target": n,
         "scatter_thresh_A": args.scatter_thresh, "cdrs": args.cdrs,
-    }}
+    }
     thr = args.scatter_thresh
     for arm in arms:
         rmsd = np.concatenate([r["rmsd"] for r in raw[arm]])
@@ -180,7 +234,6 @@ def main(argv=None) -> int:
             f"mean {m['rmsd_mean']:.2f} med {m['rmsd_median']:.2f} "
             f"best {m['rmsd_best_of_n']:.2f} AAR {m['aar']:.3f}")
 
-    path = os.path.join(args.workdir, "coord_reverse_probe.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=2)
     log(f"wrote {path}")

@@ -280,3 +280,80 @@ class TestCoordReverseModes:
         jumps = -np.diff(t_seq)
         assert np.all(jumps > 0)
         assert jumps[:3].mean() < jumps[-3:].mean()
+
+
+class TestCoordSolvers:
+    """Higher-order coordinate solvers (sample(coord_solver=...)) — the
+    few-step scatter countermeasure: respaced-jump scatter is driven by
+    the jump size amplifying eps_hat bias (DESIGN.md round-3), so both
+    solvers improve the x0 estimate and keep the posterior-mean step."""
+
+    def test_reverse_step_from_x0_matches_reverse_step(self, harness, batch):
+        """With x0_hat = predicted_x0(...), the explicit-x0 step is the
+        posterior step exactly (same key, same draw)."""
+        sched = harness.sched
+        key = jax.random.key(11)
+        gen = batch.generation_mask & batch.residue_mask
+        x_t = batch.translations + 0.3
+        eps_hat = jnp.ones_like(x_t) * 0.1
+        t = jnp.full((2,), 60, jnp.int32)
+        s = jnp.full((2,), 37, jnp.int32)
+        a = coordinate.reverse_step(
+            key, sched, x_t, eps_hat, t, gen, x0_clip=5.0, noise_scale=0.7,
+            s=s,
+        )
+        x0 = coordinate.predicted_x0(sched, x_t, eps_hat, t)
+        b = coordinate.reverse_step_from_x0(
+            key, sched, x_t, x0, t, gen, x0_clip=5.0, noise_scale=0.7, s=s
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    @pytest.mark.parametrize("solver", ["ab2", "heun"])
+    def test_solver_chains_finite_and_context_clamped(
+        self, harness, batch, state, solver
+    ):
+        res = jax.jit(
+            lambda p, b, k: harness.sample(
+                p, b, k, n_steps=8, noise_scale=0.0, coord_solver=solver
+            )
+        )(state.params, batch, jax.random.key(5))
+        x = np.asarray(res.translations)
+        assert np.isfinite(x).all()
+        ctx = np.asarray(batch.residue_mask & ~batch.generation_mask)
+        np.testing.assert_array_equal(
+            x[ctx], np.asarray(batch.translations)[ctx]
+        )
+
+    def test_fully_gated_solver_is_first_order(self, harness, batch, state):
+        """coord_solver_t_min >= T disables every correction: the chain
+        must reproduce the plain posterior chain (same keys)."""
+        run = lambda **kw: np.asarray(
+            jax.jit(
+                lambda p, b, k: harness.sample(
+                    p, b, k, n_steps=8, noise_scale=0.0, **kw
+                )
+            )(state.params, batch, jax.random.key(6)).translations
+        )
+        base = run()
+        for solver in ("ab2", "heun"):
+            gated = run(coord_solver=solver, coord_solver_t_min=10**6)
+            np.testing.assert_allclose(gated, base, atol=1e-5)
+
+    def test_solver_composes_with_fanout_and_sc_knobs(self, harness, batch,
+                                                      state):
+        res = jax.jit(
+            lambda p, b, k: harness.sample(
+                p, b, k, n_steps=6, coord_solver="ab2", n_designs=2,
+                step_schedule="hight",
+            )
+        )(state.params, batch, jax.random.key(7))
+        assert res.translations.shape[0] == 2 * batch.batch_size
+        assert np.isfinite(np.asarray(res.translations)).all()
+
+    def test_validation(self, harness, batch, state):
+        with pytest.raises(ValueError, match="coord_solver"):
+            harness.sample(state.params, batch, jax.random.key(0),
+                           coord_solver="rk4")
+        with pytest.raises(ValueError, match="composes only"):
+            harness.sample(state.params, batch, jax.random.key(0),
+                           coord_solver="ab2", coord_ddim_t_min=50)

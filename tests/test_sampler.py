@@ -170,3 +170,78 @@ def test_auto_x0_clip_scales_with_the_patch(harness, batch, params):
     # the undersized box caps the implied x0 at ~2 (+ posterior noise)
     assert out_tight.max() < 3.5
     assert np.abs(np.asarray(tight.translations) - native)[gen].max() > 2.0
+
+
+class TestChordInit:
+    """Generation from the structural prior (sample(init="chord")): the
+    designed coordinates start from the forward-noised anchor-anchor
+    chord at t_start instead of pure noise at T — motivated by the
+    scatter diagnosis (failures happen during high-t transport)."""
+
+    def test_anchor_chord_exact_interpolation(self):
+        from diffab_pytorch_tpu.sampling.sampler import anchor_chord
+
+        x = jnp.arange(18, dtype=jnp.float32).reshape(1, 6, 3)
+        ri = jnp.arange(6)[None]
+        ci = jnp.ones((1, 6), jnp.int32)
+        rm = jnp.ones((1, 6), bool)
+        gm = jnp.zeros((1, 6), bool).at[0, 2:4].set(True)
+        out, has = anchor_chord(x, ri, ci, rm, gm)
+        out, xn = np.asarray(out), np.asarray(x)
+        np.testing.assert_array_equal(np.asarray(has)[0], [0, 0, 1, 1, 0, 0])
+        # context rows untouched
+        np.testing.assert_array_equal(out[0, [0, 1, 4, 5]], xn[0, [0, 1, 4, 5]])
+        # generated rows: linear between anchors 1 and 4 by residue index
+        np.testing.assert_allclose(out[0, 2], xn[0, 1] + (xn[0, 4] - xn[0, 1]) / 3)
+        np.testing.assert_allclose(out[0, 3], xn[0, 1] + 2 * (xn[0, 4] - xn[0, 1]) / 3)
+
+    def test_anchor_chord_needs_both_anchors(self):
+        """A designed run at a chain end (no following context anchor in
+        the same chain) falls back to its input coordinates."""
+        from diffab_pytorch_tpu.sampling.sampler import anchor_chord
+
+        x = jnp.arange(18, dtype=jnp.float32).reshape(1, 6, 3)
+        ri = jnp.arange(6)[None]
+        ci = jnp.ones((1, 6), jnp.int32)
+        rm = jnp.ones((1, 6), bool)
+        gm = jnp.zeros((1, 6), bool).at[0, 4:].set(True)  # tail run
+        out, has = anchor_chord(x, ri, ci, rm, gm)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+        assert not np.asarray(has).any()
+
+    def test_chord_init_ignores_batch_cdr_values(self, harness, batch, params):
+        """init='chord' must not read the batch's designed coordinates:
+        poisoning them changes nothing (no ground-truth leakage)."""
+        from diffab_pytorch_tpu.constants import ATOM
+
+        gen = batch.generation_mask & batch.residue_mask
+        poisoned = batch.replace(
+            xyz=batch.xyz.at[:, :, ATOM.CA, :].add(
+                jnp.where(gen[..., None], 100.0, 0.0)
+            )
+        )
+        kw = dict(init="chord", t_start=11, n_steps=5)
+        run = jax.jit(
+            lambda p, b, k: harness.sample(p, b, k, **kw).translations
+        )
+        a = run(params, batch, jax.random.key(3))
+        b_ = run(params, poisoned, jax.random.key(3))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+    def test_chord_init_output_valid(self, harness, batch, params):
+        res = jax.jit(
+            lambda p, b, k: harness.sample(
+                p, b, k, init="chord", t_start=11, n_steps=5, n_designs=2
+            )
+        )(params, batch, jax.random.key(4))
+        x = np.asarray(res.translations)
+        assert np.isfinite(x).all()
+        ctx = np.asarray(
+            jnp.repeat(batch.residue_mask & ~batch.generation_mask, 2, axis=0)
+        )
+        ref = np.asarray(jnp.repeat(batch.translations, 2, axis=0))
+        np.testing.assert_array_equal(x[ctx], ref[ctx])
+
+    def test_invalid_init(self, harness, batch, params):
+        with pytest.raises(ValueError, match="init"):
+            harness.sample(params, batch, jax.random.key(0), init="blah")
