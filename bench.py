@@ -303,6 +303,25 @@ def main():
     jax.block_until_ready(res25)
     sps_25step = N_DESIGNS * n_iters / (time.time() - t0)
 
+    # secondary: the 10-step chord-start chain (round 3) — generation from
+    # the forward-noised anchor chord at t_start=0.6T skips most of the
+    # high-t transport; measured on the trained checkpoint at full-length-
+    # recipe quality (scatter 0.010, mean 0.42 A, AAR 1.000 —
+    # runs/quality_combo12k_r3/coord_reverse_probe.json ns0_10_chord60)
+    # at 1/10th the model evals of the T=100 headline chain.
+    chord_fn = jax.jit(
+        lambda p, b, k: harness.sample(
+            p, b, k, n_designs=N_DESIGNS, n_steps=10, init="chord",
+            t_start=6 * T // 10, noise_scale=0.0,
+        )
+    )
+    jax.block_until_ready(chord_fn(state.params, one, jax.random.key(2)))
+    t0 = time.time()
+    for k in keys:
+        resch = chord_fn(state.params, one, k)
+    jax.block_until_ready(resch)
+    sps_10step_chord = N_DESIGNS * n_iters / (time.time() - t0)
+
     # secondary: the round-1 comparable config (32 independent targets,
     # no fan-out sharing)
     BSZ32 = 32
@@ -367,6 +386,7 @@ def main():
         "train_steps_per_sec_bsz16": round(train_steps_per_sec, 3),
         "n_designs_fanout": N_DESIGNS,
         "samples_per_sec_25step_fanout": round(sps_25step, 3),
+        "samples_per_sec_10step_chord_fanout": round(sps_10step_chord, 3),
         "samples_per_sec_batch32_no_fanout": round(sps_batch32, 3),
         "compile_seconds": round(compile_s, 1),
         "device": str(jax.devices()[0]),

@@ -78,6 +78,18 @@ def parse_args(argv=None):
                         "respaced-jump scatter mechanism wants the "
                         "noise's dither) and for noise-scale 0.  Pass 0 "
                         "to force it off, or an explicit threshold")
+    p.add_argument("--init", choices=["prior", "chord"], default="prior",
+                   help="Generation start: 'prior' (pure noise at "
+                        "t_start) or 'chord' (designed coordinates start "
+                        "from the forward-noised anchor-anchor chord — "
+                        "the structural prior between the context "
+                        "residues flanking each designed span; built "
+                        "from context only).  Pair with --t-restart < T "
+                        "and optionally --n-steps: the measured fast "
+                        "recipe '--init chord --t-restart 60 --n-steps "
+                        "10 --noise-scale 0' holds full-length-recipe "
+                        "quality at 1/10th the model evals "
+                        "(DESIGN.md round-3)")
     p.add_argument("--coord-solver", choices=["none", "ab2", "heun"],
                    default="none",
                    help="Higher-order coordinate solver for few-step "
@@ -189,6 +201,7 @@ def main(argv=None) -> int:
         generate_structure=args.mode != "fix-structure",
         generate_sequence=args.mode != "fix-sequence",
         t_start=args.t_restart,
+        init=args.init,
         n_steps=args.n_steps,
         noise_scale=args.noise_scale,
         noise_t_max=noise_t_max,

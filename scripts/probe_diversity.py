@@ -126,6 +126,23 @@ def main(argv=None) -> int:
     sample_fns["ns=1.0,ntmax=50"] = jax.jit(
         lambda p, b, k: harness.sample(
             p, b, k, n_designs=n, noise_scale=1.0, noise_t_max=50))
+    # chord-start arms (round 3): the structural prior replaces the
+    # high-t transport — does it cost sequence diversity/coverage?  The
+    # sequence chain still starts from the uniform prior, so it should
+    # not; this verifies that, including for the fast few-step recipes.
+    T = cfg.diffusion.T
+    sample_fns["chord75,ns=1.0,ntmax=50"] = jax.jit(
+        lambda p, b, k: harness.sample(
+            p, b, k, n_designs=n, init="chord", t_start=3 * T // 4,
+            noise_scale=1.0, noise_t_max=T // 2))
+    sample_fns["chord75,ns=0,25step"] = jax.jit(
+        lambda p, b, k: harness.sample(
+            p, b, k, n_designs=n, init="chord", t_start=3 * T // 4,
+            noise_scale=0.0, n_steps=25))
+    sample_fns["chord60,ns=0,10step"] = jax.jit(
+        lambda p, b, k: harness.sample(
+            p, b, k, n_designs=n, init="chord", t_start=6 * T // 10,
+            noise_scale=0.0, n_steps=10))
 
     out = {"meta": {"workdir": args.workdir, "degeneracy": degeneracy,
                     "designs": n, "targets": len(paths),
