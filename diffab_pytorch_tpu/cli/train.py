@@ -77,6 +77,24 @@ def parse_args(argv=None):
     p.add_argument("--sc-geometry-only", action="store_true",
                    help="Self-conditioning features exclude the predicted "
                         "p(s_0) — the multi-loop recipe (QUALITY.md)")
+    p.add_argument("--sc-rate", type=float, default=0.5,
+                   help="Fraction of each batch trained conditioned "
+                        "(TrainConfig.sc_rate; the Chen et al. recipe is 0.5)")
+    p.add_argument("--sc-onset", type=int, default=0,
+                   help="Steps trained fully cold before self-conditioning "
+                        "starts (late-onset sc; TrainConfig.sc_onset_steps)")
+    p.add_argument("--sc-rate-warmup", type=int, default=0,
+                   help="Steps to ramp the sc rate 0 -> sc-rate after onset "
+                        "(annealed sc; TrainConfig.sc_rate_warmup)")
+    p.add_argument("--sc-seq-loss-weight", type=float, default=1.0,
+                   help="Weight of the sequence losses (KL + CE) on the "
+                        "conditioned half of the batch; <1 keeps the "
+                        "sequence head's gradient dominated by the cold "
+                        "half (TrainConfig.sc_seq_loss_weight)")
+    p.add_argument("--adam-eps", type=float, default=1e-8,
+                   help="Adam epsilon; raising it (e.g. 1e-5) bounds the "
+                        "late-training tiny-second-moment spiral "
+                        "(TrainConfig.adam_eps)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (MXU-native; params stay f32)")
     p.add_argument("--checkpoint-dir", default="checkpoints")
@@ -105,6 +123,11 @@ def build_config(args) -> DiffAbConfig:
         val_pct=args.val_pct,
         checkpoint_dir=args.checkpoint_dir,
         mode_dropout=args.mode_dropout,
+        sc_rate=args.sc_rate,
+        sc_onset_steps=args.sc_onset,
+        sc_rate_warmup=args.sc_rate_warmup,
+        sc_seq_loss_weight=args.sc_seq_loss_weight,
+        adam_eps=args.adam_eps,
     )
     cfg = dataclasses.replace(cfg, train=train)
     if args.bf16:

@@ -389,3 +389,24 @@ def test_seq_sample_weight_mechanism():
     assert d_w < d_base
     np.testing.assert_allclose(float(w["translations_loss"]),
                                float(base["translations_loss"]), rtol=1e-7)
+
+
+def test_cli_train_sc_schedule_flags():
+    """The production train CLI wires the sc-schedule knobs (and adam_eps)
+    into TrainConfig — parity with scripts/quality_run.py's surface."""
+    from diffab_pytorch_tpu.cli import train as train_cli
+
+    args = train_cli.parse_args([
+        "--data-dir", "/nonexistent", "--self-conditioning",
+        "--sc-geometry-only", "--sc-rate", "0.4", "--sc-onset", "123",
+        "--sc-rate-warmup", "456", "--sc-seq-loss-weight", "0.2",
+        "--adam-eps", "1e-5",
+    ])
+    cfg = train_cli.build_config(args)
+    assert cfg.model.self_conditioning
+    assert not cfg.model.self_conditioning_sequence
+    assert cfg.train.sc_rate == 0.4
+    assert cfg.train.sc_onset_steps == 123
+    assert cfg.train.sc_rate_warmup == 456
+    assert cfg.train.sc_seq_loss_weight == 0.2
+    assert cfg.train.adam_eps == 1e-5
