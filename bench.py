@@ -90,15 +90,16 @@ def encode_model_flops(cfg, b: int, L: int) -> float:
     MLP are the train-side heavyweights (models/embedding.py)."""
     m = cfg.model
     d, dp, A, V = m.d_residue_emb, m.d_pair_emb, m.n_atoms, m.aa_vocab_size
+    Ad = m.dist_atoms or A  # atoms in the pair distance feature
     bl, bll = b * L, b * L * L
     cat_res = d + V * A * 3 + 3 * (m.n_residue_dihedral_funcs * 4 + 1) + d
     res = 2 * bl * (cat_res * 2 * d + 2 * d * d + 2 * d * d)
     cat_pair = 3 * dp + 2 * (m.n_pair_dihedral_funcs * 4 + 1)
     pair = (
-        2 * bll * (A * A * dp + dp * dp)  # distance-kernel MLP
+        2 * bll * (Ad * Ad * dp + dp * dp)  # distance-kernel MLP
         + 2 * bll * (cat_pair * dp + 2 * dp * dp)  # pair MLP
     )
-    dist_cross = 2 * b * (L * A) * (L * A) * 3  # |x-y|^2 expansion matmul
+    dist_cross = 2 * b * (L * Ad) * (L * Ad) * 3  # |x-y|^2 expansion matmul
     return float(res + pair + dist_cross)
 
 
@@ -135,13 +136,14 @@ def train_hbm_bytes(cfg, b: int, L: int) -> float:
     h, ds = m.n_head, m.d_scalar_per_head
     pq, pv = m.n_query_point_per_head, m.n_value_point_per_head
     d, dp, A = m.d_residue_emb, m.d_pair_emb, m.n_atoms
+    Ad = m.dist_atoms or A  # atoms in the pair distance feature
     bl, bll, ll = b * L, b * L * L, L * L
 
-    # context encoding (bf16 = 2 bytes): 3 A^2-wide tensors (d2, coef,
+    # context encoding (bf16 = 2 bytes): 3 Ad^2-wide tensors (d2, coef,
     # kernel) each written+read, dist-MLP/pair-MLP activations, coord
     # scatter feature (V*A*3 wide, bf16)
     enc = (
-        3 * 2 * bll * A * A * 2
+        3 * 2 * bll * Ad * Ad * 2
         + (2 * dp + 3 * dp + dp) * bll * 2
         + bl * (m.aa_vocab_size * A * 3) * 2 * 2
     )
@@ -163,7 +165,7 @@ def train_hbm_bytes(cfg, b: int, L: int) -> float:
         # projections + out dense per layer + embeddings, coarse
         m.n_ipa_layers * (d * (3 * h * ds + 3 * h * pq * 3)
                           + (h * ds + h * dp + h * pv * 3 + h * pv) * d)
-        + (21 * 21) * (A * A + dp) + 2 * d * d * 4 + dp * dp * 4
+        + (21 * 21) * (Ad * Ad + dp) + 2 * d * d * 4 + dp * dp * 4
     )
     opt = 6 * n_params * 4
     return float(3.0 * fwd + opt)

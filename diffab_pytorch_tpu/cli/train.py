@@ -97,6 +97,12 @@ def parse_args(argv=None):
                         "(TrainConfig.adam_eps)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (MXU-native; params stay f32)")
+    p.add_argument("--dist-atoms", type=int, default=None,
+                   help="Atoms entering the pair DISTANCE feature (by "
+                        "index; 4 = backbone N/CA/C/O).  Default: all "
+                        "n_atoms (the reference's 225-channel kernel).  "
+                        "Narrowing cuts the dominant train-side HBM "
+                        "streams (ModelConfig.dist_atoms; DESIGN.md §3)")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--csv", default=None, help="Metrics CSV path")
@@ -133,6 +139,10 @@ def build_config(args) -> DiffAbConfig:
     if args.bf16:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16")
+        )
+    if args.dist_atoms is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, dist_atoms=args.dist_atoms)
         )
     if args.self_conditioning:
         cfg = dataclasses.replace(

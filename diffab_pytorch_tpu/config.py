@@ -41,6 +41,16 @@ class ModelConfig:
     aa_vocab_size: int = AA_VOCAB_SIZE
     max_n_chains: int = MAX_N_CHAINS
     max_dist_to_consider: int = 32
+    # Atoms (by index, N=0 CA=1 C=2 O=3 ...) entering the pair DISTANCE
+    # feature: None = all n_atoms (the reference's A^2 = 225-channel
+    # kernel, diffab_pytorch.py:198-207).  The (b, L, L, A^2) kernel
+    # streams dominate the TRAIN step's HBM traffic (bench.py byte
+    # ledger), so narrowing this is the architectural train-throughput
+    # lever; 4 = backbone-only (N, CA, C, O), 16 channels.  Changes the
+    # parameter tree (pair2distcoef / distance_mlp_0 widths) — opt-in,
+    # recorded per checkpoint via model_config.json.  Measured
+    # throughput/quality trade: DESIGN.md §3.
+    dist_atoms: int | None = None
     n_residue_dihedral_funcs: int = 3  # AngularEncoding(num_funcs=3), ref :64
     n_pair_dihedral_funcs: int = 2  # AngularEncoding(2), ref :209
     # Computation dtype for the big matmuls (params stay float32).  bfloat16

@@ -267,21 +267,25 @@ class PairEmbedding(nn.Module):
 
         # (c) distance features: per-pair-type learned RBF widths
         # (zero-initialized like the reference, :198-201), applied to the
-        # on-the-fly squared distances.
+        # on-the-fly squared distances.  cfg.dist_atoms narrows the atom
+        # set (backbone-only k=4 -> 16 channels instead of A^2 = 225) —
+        # the train-side HBM lever, measured in DESIGN.md §3.
+        k_at = cfg.dist_atoms or A
+        d_xyz, d_amask = xyz[:, :, :k_at], atom_mask[:, :, :k_at]
         coef = nn.Embed(
             vocab * vocab,
-            A * A,
+            k_at * k_at,
             embedding_init=nn.initializers.zeros,
             dtype=dt,
             name="pair2distcoef",
         )(seq_pair)
-        coef = jax.nn.softplus(coef)  # (b, L, L, A*A)
-        d2 = pairwise_sq_distances(xyz, dtype=dt).reshape(
-            *seq_pair.shape, A * A
+        coef = jax.nn.softplus(coef)  # (b, L, L, k*k)
+        d2 = pairwise_sq_distances(d_xyz, dtype=dt).reshape(
+            *seq_pair.shape, k_at * k_at
         )
         atom_pair_mask = (
-            atom_mask[:, :, None, :, None] & atom_mask[:, None, :, None, :]
-        ).reshape(*seq_pair.shape, A * A)
+            d_amask[:, :, None, :, None] & d_amask[:, None, :, None, :]
+        ).reshape(*seq_pair.shape, k_at * k_at)
         # where before exp: garbage coordinates in masked atom slots would
         # otherwise poison valid pairs through NaN * 0 = NaN
         d2 = jnp.where(atom_pair_mask, d2, 0.0)

@@ -97,6 +97,10 @@ def parse_args(argv=None):
                    help="Also evaluate the fix-structure (sequence design) "
                         "and fix-sequence (structure design) sampling modes "
                         "— meaningful on --mode-dropout checkpoints")
+    p.add_argument("--dist-atoms", type=int, default=None,
+                   help="Atoms entering the pair distance feature "
+                        "(ModelConfig.dist_atoms; 4 = backbone-only, the "
+                        "train-HBM lever — DESIGN.md §3)")
     p.add_argument("--seq-degeneracy", type=int, default=1,
                    help="Valid residues per (loop position, slot value) "
                         "in the corpus (>1 makes diversity measurable — "
@@ -219,6 +223,7 @@ def main(argv=None) -> int:
             compute_dtype="float32" if args.smoke else "bfloat16",
             self_conditioning=args.self_conditioning,
             self_conditioning_sequence=not args.sc_geometry_only,
+            dist_atoms=args.dist_atoms,
         ),
         train=TrainConfig(
             batch_size=args.bsz, lr=args.lr, seed=args.seed,
