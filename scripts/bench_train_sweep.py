@@ -33,6 +33,9 @@ def parse_args(argv=None):
                    default=[16, 32, 64, 128, 256])
     p.add_argument("--timed-steps", type=int, default=10)
     p.add_argument("--pool-rows", type=int, default=512)
+    p.add_argument("--dist-atoms", type=int, default=None,
+                   help="Measure with ModelConfig.dist_atoms=k (narrowed "
+                        "pair distance feature — DESIGN.md §3)")
     p.add_argument("--smoke", action="store_true")
     return p.parse_args(argv)
 
@@ -70,6 +73,7 @@ def main(argv=None) -> int:
                 compute_dtype=cfg.model.compute_dtype if args.smoke else "bfloat16",
                 remat_ipa=remat,
                 remat_pair=remat_pair,
+                dist_atoms=args.dist_atoms,
             )
         )
         harness = DiffAb(cfg)
@@ -101,7 +105,7 @@ def main(argv=None) -> int:
         fl, by = train_model_flops(cfg, bsz, L), train_hbm_bytes(cfg, bsz, L)
         return {
             "batch_size": bsz, "remat": remat, "pool": pool,
-            "remat_pair": remat_pair,
+            "remat_pair": remat_pair, "dist_atoms": args.dist_atoms,
             "steps_per_sec": round(sps, 3),
             "samples_per_sec": round(sps * bsz, 1),
             "train_tflops": round(fl * sps / 1e12, 2),
