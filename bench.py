@@ -148,7 +148,7 @@ def train_hbm_bytes(cfg, b: int, L: int) -> float:
         + bl * (m.aa_vocab_size * A * 3) * 2 * 2
     )
     # per IPA layer (as the sampler count, without fan-out sharing)
-    pair_read = bll * dp * 2
+    pair_read = bll * dp * 2  # attended-pair-rows reduction read
     bias = bll * h * 4
     attn_rt = 2 * b * h * ll * 2
     act = bl * (
@@ -156,9 +156,15 @@ def train_hbm_bytes(cfg, b: int, L: int) -> float:
         + h * (ds + 3 * pv + pv) + 2 * d
     ) * 2
     layers = m.n_ipa_layers * (pair_read + bias + attn_rt + act)
+    # bias-PROJECTION pair reads: one matmul over the pair tensor per
+    # layer, or ONE total with the fused cross-layer projection
+    # (ModelConfig.fuse_pair_bias, models/ipa.py)
+    n_bias_reads = (1 if (m.fuse_pair_bias and not m.remat_ipa)
+                    else m.n_ipa_layers)
+    bias_proj = n_bias_reads * bll * dp * 2
 
     n_fwd = 2 if cfg.model.self_conditioning else 1
-    fwd = enc + n_fwd * layers
+    fwd = enc + n_fwd * (layers + bias_proj)
     # params + Adam moments: read params+mu+nu, write params+mu+nu (~2.5M
     # leaves x 4 bytes x 6)
     n_params = (

@@ -72,6 +72,19 @@ class ModelConfig:
     # and the d-wide accumulator cross the chip boundary.  Requires
     # use_pallas_attention; None = follow the attention flag.
     fuse_ipa_layer: bool | None = None
+    # Fuse the per-layer pair-bias projections into ONE matmul over the
+    # pair tensor (models/ipa.py stack): left per layer, the
+    # (b, L, L, d_pair) pair embedding crosses HBM n_layers times in the
+    # forward and its gradient is accumulated across n_layers matmuls in
+    # the backward — the surviving pair-stream bound after dist_atoms
+    # (DESIGN.md §3).  Numerics are identical per output column (same
+    # contraction, same accumulation order); the param tree is unchanged
+    # (each layer's kernel is materialized via an identity matmul, the
+    # same trick as the fused QKV projection).  Applies whenever biases
+    # are not already precomputed (training; the sampler hoists its own
+    # f32 biases out of the scan).  Ignored under remat_ipa, where the
+    # bias belongs inside each layer's checkpointed region.
+    fuse_pair_bias: bool = True
     # Rematerialize IPA layers in the backward pass (jax.checkpoint):
     # trades ~1 extra forward for not storing per-layer activations —
     # enables much larger training batches (HBM is the binding constraint

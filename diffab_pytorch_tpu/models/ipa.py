@@ -126,6 +126,7 @@ class InvariantPointAttentionLayer(nn.Module):
         trans: jax.Array,  # (b, L, 3)
         residue_mask: jax.Array | None = None,  # (b, L)
         pair_bias: jax.Array | None = None,  # (bp, h, L, L) precomputed
+        bias_kernel_only: bool = False,
     ) -> jax.Array:
         """Design fan-out: when the per-residue state batch b is an integer
         multiple n of the pair batch bp, rows [i*n, (i+1)*n) are treated as n
@@ -138,6 +139,14 @@ class InvariantPointAttentionLayer(nn.Module):
         cfg = self.cfg
         dt = cfg.dtype
         h = cfg.n_head
+        if bias_kernel_only:
+            # Stack-level fused bias projection (see the module below):
+            # materialize ONLY this layer's (d_pair, h) pair-bias kernel
+            # via an identity matmul — exact, and the Dense declaration
+            # keeps the param tree byte-identical to the unfused path.
+            return nn.Dense(h, use_bias=False, dtype=dt,
+                            name="to_pair_bias")(
+                jnp.eye(cfg.d_pair_emb, dtype=dt))
         ds = cfg.d_scalar_per_head
         pq = cfg.n_query_point_per_head
         pv = cfg.n_value_point_per_head
@@ -389,13 +398,39 @@ class InvariantPointAttentionModule(nn.Module):
     @nn.compact
     def __call__(self, res_emb, pair_emb, rot, trans, residue_mask=None,
                  pair_biases=None):
+        cfg = self.cfg
         layer_cls = InvariantPointAttentionLayer
-        if self.cfg.remat_ipa:
+        if cfg.remat_ipa:
             layer_cls = nn.remat(
                 InvariantPointAttentionLayer, static_argnums=()
             )
-        for i in range(self.cfg.n_ipa_layers):
-            res_emb = layer_cls(self.cfg, name=f"layer_{i}")(
+        layers = [layer_cls(cfg, name=f"layer_{i}")
+                  for i in range(cfg.n_ipa_layers)]
+        if (pair_biases is None and cfg.use_pair_bias and cfg.fuse_pair_bias
+                and not cfg.remat_ipa):
+            # ---- fused cross-layer bias projection -------------------
+            # Each layer's bias logits are an independent matmul of the
+            # SAME (bp, L, L, d_pair) pair tensor against that layer's
+            # (d_pair, h) kernel — so left per layer, the pair tensor
+            # crosses HBM n_layers times in the forward and its gradient
+            # is accumulated across n_layers matmuls in the backward.
+            # Materialize every layer's kernel (identity matmul, exact),
+            # concatenate to (d_pair, n_layers*h), and project ONCE.
+            # Per-column dot products are identical to the per-layer
+            # matmuls (same contraction axis, same accumulation), and the
+            # param tree (pinned by the torch transplant goldens) is
+            # unchanged.  Skipped under remat_ipa: the bias must then be
+            # recomputed inside each layer's checkpointed region anyway.
+            dt = cfg.dtype
+            h = cfg.n_head
+            Ws = [ly(res_emb, pair_emb, rot, trans, bias_kernel_only=True)
+                  for ly in layers]
+            logits = pair_emb.astype(dt) @ jnp.concatenate(Ws, axis=-1)
+            logits = jnp.moveaxis(logits, -1, 1)  # (bp, n_layers*h, L, L)
+            pair_biases = [logits[:, i * h:(i + 1) * h]
+                           for i in range(cfg.n_ipa_layers)]
+        for i, ly in enumerate(layers):
+            res_emb = ly(
                 res_emb, pair_emb, rot, trans, residue_mask,
                 None if pair_biases is None else pair_biases[i],
             )

@@ -36,6 +36,11 @@ def parse_args(argv=None):
     p.add_argument("--dist-atoms", type=int, default=None,
                    help="Measure with ModelConfig.dist_atoms=k (narrowed "
                         "pair distance feature — DESIGN.md §3)")
+    p.add_argument("--ab-fuse-pair-bias", action="store_true",
+                   help="Instead of the remat/pool sweep, A/B "
+                        "ModelConfig.fuse_pair_bias on/off x dist_atoms "
+                        "{all-atom, 4} at the given batch sizes, all in "
+                        "one process (tunnel-friendly)")
     p.add_argument("--smoke", action="store_true")
     return p.parse_args(argv)
 
@@ -65,7 +70,8 @@ def main(argv=None) -> int:
     dev = jax.devices()[0]
     pf, pb = peak_flops(dev), peak_hbm_bw(dev)
 
-    def measure(bsz, remat, pool=False, remat_pair=False):
+    def measure(bsz, remat, pool=False, remat_pair=False,
+                dist_atoms="from_args", fuse_pair_bias=True):
         cfg = tiny_config() if args.smoke else default_config()
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(
@@ -73,7 +79,9 @@ def main(argv=None) -> int:
                 compute_dtype=cfg.model.compute_dtype if args.smoke else "bfloat16",
                 remat_ipa=remat,
                 remat_pair=remat_pair,
-                dist_atoms=args.dist_atoms,
+                dist_atoms=(args.dist_atoms if dist_atoms == "from_args"
+                            else dist_atoms),
+                fuse_pair_bias=fuse_pair_bias,
             )
         )
         harness = DiffAb(cfg)
@@ -105,7 +113,8 @@ def main(argv=None) -> int:
         fl, by = train_model_flops(cfg, bsz, L), train_hbm_bytes(cfg, bsz, L)
         return {
             "batch_size": bsz, "remat": remat, "pool": pool,
-            "remat_pair": remat_pair, "dist_atoms": args.dist_atoms,
+            "remat_pair": remat_pair, "dist_atoms": cfg.model.dist_atoms,
+            "fuse_pair_bias": fuse_pair_bias,
             "steps_per_sec": round(sps, 3),
             "samples_per_sec": round(sps * bsz, 1),
             "train_tflops": round(fl * sps / 1e12, 2),
@@ -116,6 +125,27 @@ def main(argv=None) -> int:
         }
 
     rows = []
+    if args.ab_fuse_pair_bias:
+        # fuse on/off x dist_atoms {all-atom, 4} at each batch, one process
+        dist_arms = [None] if args.smoke else [None, 4]
+        for bsz in args.batch_sizes:
+            for da in dist_arms:
+                for fuse in (True, False):
+                    try:
+                        r = measure(bsz, False, dist_atoms=da,
+                                    fuse_pair_bias=fuse)
+                    except Exception as e:
+                        r = {"batch_size": bsz, "dist_atoms": da,
+                             "fuse_pair_bias": fuse,
+                             "error": f"{type(e).__name__}: {str(e)[:200]}"}
+                    rows.append(r)
+                    log(json.dumps(r))
+        out = {"device": str(dev), "L": L, "rows": rows}
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=2)
+        log(f"wrote {args.out}")
+        return 0
     arms = ([(False, False)] if args.smoke
             else [(False, False), (True, False), (False, True)])
     for bsz in args.batch_sizes:

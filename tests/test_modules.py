@@ -415,6 +415,47 @@ def test_remat_pair_equivalence(batch):
         )
 
 
+def test_fuse_pair_bias_equivalence(batch):
+    """fuse_pair_bias (config.py): projecting all layers' pair-bias logits
+    in ONE matmul over the pair tensor gives the same forward and the same
+    parameter gradients (and tree) as the per-layer projections — it only
+    changes how many times the pair tensor crosses HBM."""
+    import dataclasses
+
+    model = DiffAbModel(dataclasses.replace(CFG, fuse_pair_bias=True))
+    model_u = DiffAbModel(dataclasses.replace(CFG, fuse_pair_bias=False))
+    beta = jnp.array([0.01, 0.4])
+    params = model.init(
+        jax.random.key(31), batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta,
+    )
+    params_u = model_u.init(
+        jax.random.key(31), batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta,
+    )
+    assert jax.tree.structure(params) == jax.tree.structure(params_u)
+
+    def loss(m, p):
+        out = m.apply(
+            p, batch, batch.seq_idx, batch.translations,
+            batch.orientations, beta,
+        )
+        return (
+            jnp.sum(out["translations_eps"] ** 2)
+            + jnp.sum(out["seq_posterior"] ** 2)
+        )
+
+    np.testing.assert_allclose(
+        float(loss(model, params)), float(loss(model_u, params)), rtol=1e-6
+    )
+    g = jax.grad(lambda p: loss(model, p))(params)
+    g_u = jax.grad(lambda p: loss(model_u, p))(params)
+    for a, b_ in zip(jax.tree.leaves(g), jax.tree.leaves(g_u)):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=2e-5, atol=1e-5
+        )
+
+
 def test_denoiser_se3_equivariance(batch):
     """Under a global rotation Q of the whole system (row convention:
     x' = x @ Q, O' = O @ Q), the full model's heads must transform as
