@@ -90,6 +90,12 @@ def parse_args(argv=None):
                         "10 --noise-scale 0' holds full-length-recipe "
                         "quality at 1/10th the model evals "
                         "(DESIGN.md round-3)")
+    p.add_argument("--chord-orientations", action="store_true",
+                   help="With --init chord: designed FRAMES also start "
+                        "from the forward-noised geodesic interpolation "
+                        "between the flanking anchors' frames instead of "
+                        "the uniform prior (context-only, same leakage "
+                        "contract; measured trade in DESIGN.md round-3)")
     p.add_argument("--coord-solver", choices=["none", "ab2", "heun"],
                    default="none",
                    help="Higher-order coordinate solver for few-step "
@@ -202,6 +208,7 @@ def main(argv=None) -> int:
         generate_sequence=args.mode != "fix-sequence",
         t_start=args.t_restart,
         init=args.init,
+        chord_orientations=args.chord_orientations,
         n_steps=args.n_steps,
         noise_scale=args.noise_scale,
         noise_t_max=noise_t_max,

@@ -61,6 +61,19 @@ def anchor_chord(
     ground truth.  O(L^2) one-off, outside the reverse scan.
     """
     gm = generation_mask & residue_mask
+    prev_idx, next_idx, frac, has = _anchor_indices(
+        residue_idx, chain_idx, residue_mask, generation_mask
+    )
+    takes = lambda a, idx: jnp.take_along_axis(a, idx[..., None], axis=1)
+    chord = takes(x, prev_idx) + frac[..., None] * (
+        takes(x, next_idx) - takes(x, prev_idx)
+    )
+    return jnp.where((gm & has)[..., None], chord, x), gm & has
+
+
+def _anchor_indices(residue_idx, chain_idx, residue_mask, generation_mask):
+    """Nearest flanking CONTEXT residues (same chain, by residue index) for
+    every position: (prev_idx, next_idx, frac in [0,1], has_both)."""
     ctx = residue_mask & ~generation_mask
     same_chain = (
         chain_idx[:, :, None] == chain_idx[:, None, :]
@@ -73,14 +86,43 @@ def anchor_chord(
     prev_idx = jnp.argmax(jnp.where(prev_cand, ri[:, None, :], -big), axis=2)
     next_idx = jnp.argmin(jnp.where(next_cand, ri[:, None, :], big), axis=2)
     has = prev_cand.any(axis=2) & next_cand.any(axis=2)
-    takes = lambda a, idx: jnp.take_along_axis(a, idx[..., None], axis=1)
     ri_prev = jnp.take_along_axis(ri, prev_idx, axis=1)
     ri_next = jnp.take_along_axis(ri, next_idx, axis=1)
     frac = (ri - ri_prev) / jnp.maximum(ri_next - ri_prev, 1.0)
-    chord = takes(x, prev_idx) + frac[..., None] * (
-        takes(x, next_idx) - takes(x, prev_idx)
+    return prev_idx, next_idx, frac, has
+
+
+def anchor_chord_frames(
+    r: jax.Array,
+    residue_idx: jax.Array,
+    chain_idx: jax.Array,
+    residue_mask: jax.Array,
+    generation_mask: jax.Array,
+) -> jax.Array:
+    """Geodesic (slerp) anchor-anchor interpolation of ORIENTATIONS for
+    generated spans: R(frac) = R_prev exp(frac log(R_prev^T R_next)).
+
+    The orientation analogue of `anchor_chord`: the round-3b measurements
+    found the stochastic chord compositions lose to prior-start
+    (DESIGN.md §3), with the hypothesis that the UNIFORM orientation init
+    is off the forward marginal at t_start where the coordinate chord
+    already carries signal.  This gives the frame chain the same
+    structural prior.  Context-only; same has_anchors fallback contract as
+    anchor_chord."""
+    from diffab_pytorch_tpu.geometry import so3
+
+    gm = generation_mask & residue_mask
+    prev_idx, next_idx, frac, has = _anchor_indices(
+        residue_idx, chain_idx, residue_mask, generation_mask
     )
-    return jnp.where((gm & has)[..., None], chord, x), gm & has
+    takes3 = lambda a, idx: jnp.take_along_axis(
+        a, idx[..., None, None], axis=1
+    )
+    r_prev = takes3(r, prev_idx)  # (b, L, 3, 3)
+    r_next = takes3(r, next_idx)
+    rel = so3.compose(jnp.swapaxes(r_prev, -1, -2), r_next)  # R_prev^T R_next
+    chord = so3.compose(r_prev, so3.scale_rot(rel, frac))  # geodesic slerp
+    return jnp.where((gm & has)[..., None, None], chord, r), gm & has
 
 
 @flax.struct.dataclass
@@ -124,6 +166,7 @@ def sample(
     coord_solver: str = "none",
     coord_solver_t_min: int = 0,
     init: str = "prior",
+    chord_orientations: bool = False,
 ) -> SampleResult:
     """Run the full reverse loop.  jit-compatible (flags, t_start and
     n_designs are Python-static).
@@ -249,6 +292,14 @@ def sample(
                          sqrt(abar_T) ~ 0 makes it the prior.  Unlike
                          plain t-restart, the batch's own CDR coordinates
                          are ignored.
+    chord_orientations:  with init="chord", also start designed FRAMES
+                         from the forward-noised geodesic interpolation
+                         between the flanking anchors' frames
+                         (`anchor_chord_frames`) instead of the uniform
+                         prior — probing the round-3b hypothesis that the
+                         stochastic chord compositions lose because the
+                         uniform frame init is off the forward marginal
+                         at t_start.  Context-only, same leakage contract.
     """
     T = sched.T
     t_start = T if t_start is None else int(t_start)
@@ -320,10 +371,12 @@ def sample(
     ks, kx, kr = jax.random.split(k_init, 3)
     if init == "chord":
         # generation from the structural prior: designed x from the
-        # forward-noised anchor chord, sequence/orientations from their
-        # priors.  Designed runs WITHOUT both anchors fall back to the
-        # coordinate prior — the batch's own CDR values are never read
-        # (no ground-truth leakage; pinned in tests/test_sampler.py)
+        # forward-noised anchor chord, sequence from its prior,
+        # orientations from the forward-noised anchor slerp (or the
+        # prior with chord_orientations=False).  Designed runs WITHOUT
+        # both anchors fall back to the priors — the batch's own CDR
+        # values are never read (no ground-truth leakage; pinned in
+        # tests/test_sampler.py)
         x0_guess, has_anchors = anchor_chord(
             x_ctx, rep(batch.residue_idx), rep(batch.chain_idx),
             res_mask, struct_gen,
@@ -340,7 +393,21 @@ def sample(
         )
         seq_t = sequence.sample_prior(ks, seq_ctx, seq_gen,
                                       model.cfg.aa_vocab_size)
-        r_t = orientation.sample_prior(kr, r_ctx, struct_gen)
+        if chord_orientations:
+            r0_guess, r_has = anchor_chord_frames(
+                r_ctx, rep(batch.residue_idx), rep(batch.chain_idx),
+                res_mask, struct_gen,
+            )
+            kr1, kr2 = jax.random.split(kr)
+            r_chord_t = orientation.diffuse_from_t0(
+                kr1, tables, r0_guess, tvec, struct_gen & r_has
+            )
+            r_prior = orientation.sample_prior(kr2, r_ctx, struct_gen)
+            r_t = jnp.where(
+                (struct_gen & r_has)[..., None, None], r_chord_t, r_prior
+            )
+        else:
+            r_t = orientation.sample_prior(kr, r_ctx, struct_gen)
     elif t_start == T:
         seq_t = sequence.sample_prior(ks, seq_ctx, seq_gen,
                                       model.cfg.aa_vocab_size)

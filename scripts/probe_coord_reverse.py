@@ -186,6 +186,25 @@ def main(argv=None) -> int:
         "ns1_chord75_ntmax50": make_fn(noise_scale=1.0, init="chord",
                                        t_start=3 * T // 4,
                                        noise_t_max=T // 2),
+        # orientation-chord variants (sampler chord_orientations=True,
+        # round 3c): designed frames start from the forward-noised
+        # anchor slerp instead of the uniform prior — testing the
+        # hypothesis that the stochastic chord compositions lose because
+        # the uniform frame init is off the forward marginal at t_start
+        "ns0_10_chordR60": make_fn(noise_scale=0.0, n_steps=10,
+                                   init="chord", chord_orientations=True,
+                                   t_start=6 * T // 10),
+        "ns0_25_chordR75": make_fn(noise_scale=0.0, n_steps=25,
+                                   init="chord", chord_orientations=True,
+                                   t_start=3 * T // 4),
+        "ns1_chordR75_ntmax50": make_fn(noise_scale=1.0, init="chord",
+                                        chord_orientations=True,
+                                        t_start=3 * T // 4, noise_t_max=50),
+        "ns1_25_chordR75_ntmax50": make_fn(noise_scale=1.0, n_steps=25,
+                                           init="chord",
+                                           chord_orientations=True,
+                                           t_start=3 * T // 4,
+                                           noise_t_max=50),
         "ns1_25_chord75_ntmax50": make_fn(noise_scale=1.0, n_steps=25,
                                           init="chord", t_start=3 * T // 4,
                                           noise_t_max=T // 2),

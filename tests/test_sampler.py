@@ -245,3 +245,62 @@ class TestChordInit:
     def test_invalid_init(self, harness, batch, params):
         with pytest.raises(ValueError, match="init"):
             harness.sample(params, batch, jax.random.key(0), init="blah")
+
+    def test_anchor_chord_frames_geodesic(self):
+        """Orientation slerp: exact at the anchors' fractions, orthonormal
+        everywhere, and equal to the shared frame when both anchors agree."""
+        from diffab_pytorch_tpu.geometry import so3
+        from diffab_pytorch_tpu.sampling.sampler import anchor_chord_frames
+
+        ri = jnp.arange(6)[None]
+        ci = jnp.ones((1, 6), jnp.int32)
+        rm = jnp.ones((1, 6), bool)
+        gm = jnp.zeros((1, 6), bool).at[0, 2:4].set(True)
+        r = so3.uniform(jax.random.key(0), (1, 6))
+        out, has = anchor_chord_frames(r, ri, ci, rm, gm)
+        out = np.asarray(out)
+        np.testing.assert_array_equal(np.asarray(has)[0], [0, 0, 1, 1, 0, 0])
+        # context rows untouched
+        np.testing.assert_array_equal(
+            out[0, [0, 1, 4, 5]], np.asarray(r)[0, [0, 1, 4, 5]]
+        )
+        # generated rows: valid rotations on the geodesic between anchors
+        # 1 and 4 — R(f) = R1 exp(f log(R1^T R4)) at f = 1/3, 2/3
+        r1, r4 = np.asarray(r)[0, 1], np.asarray(r)[0, 4]
+        rel = r1.T @ r4
+        for row, f in ((2, 1 / 3), (3, 2 / 3)):
+            expect = r1 @ np.asarray(so3.scale_rot(jnp.asarray(rel), jnp.asarray(f)))
+            np.testing.assert_allclose(out[0, row], expect, atol=1e-5)
+            np.testing.assert_allclose(
+                out[0, row] @ out[0, row].T, np.eye(3), atol=1e-5
+            )
+        # both anchors equal -> the designed rows inherit that frame
+        r_same = r.at[0, 4].set(r[0, 1])
+        out2, _ = anchor_chord_frames(r_same, ri, ci, rm, gm)
+        np.testing.assert_allclose(
+            np.asarray(out2)[0, 2:4],
+            np.broadcast_to(np.asarray(r)[0, 1], (2, 3, 3)), atol=1e-5,
+        )
+
+    def test_chord_orientations_ignore_batch_cdr_values(
+        self, harness, batch, params
+    ):
+        """chord_orientations=True must not read the batch's designed
+        FRAMES either: poisoning them changes nothing."""
+        gen = batch.generation_mask & batch.residue_mask
+        from diffab_pytorch_tpu.geometry import so3
+
+        flip = so3.uniform(jax.random.key(9), batch.orientations.shape[:2])
+        poisoned = batch.replace(
+            orientations=jnp.where(
+                gen[..., None, None], flip, batch.orientations
+            )
+        )
+        kw = dict(init="chord", chord_orientations=True, t_start=11,
+                  n_steps=5)
+        run = jax.jit(
+            lambda p, b, k: harness.sample(p, b, k, **kw).orientations
+        )
+        a = run(params, batch, jax.random.key(3))
+        b_ = run(params, poisoned, jax.random.key(3))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
