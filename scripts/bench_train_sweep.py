@@ -41,6 +41,15 @@ def parse_args(argv=None):
                         "ModelConfig.fuse_pair_bias on/off x dist_atoms "
                         "{all-atom, 4} at the given batch sizes, all in "
                         "one process (tunnel-friendly)")
+    p.add_argument("--ab-d-pair", type=int, nargs="+", default=None,
+                   metavar="D",
+                   help="Instead of the remat/pool sweep, measure "
+                        "ModelConfig.d_pair_emb at each given width "
+                        "(e.g. 64 48 32) x the given batch sizes, at the "
+                        "production setting (dist_atoms=4, fused bias) — "
+                        "the 'narrower pair representation' lever named "
+                        "in DESIGN.md §5.  Changes the parameter budget: "
+                        "a winner needs a quality run before shipping.")
     p.add_argument("--smoke", action="store_true")
     return p.parse_args(argv)
 
@@ -71,7 +80,7 @@ def main(argv=None) -> int:
     pf, pb = peak_flops(dev), peak_hbm_bw(dev)
 
     def measure(bsz, remat, pool=False, remat_pair=False,
-                dist_atoms="from_args", fuse_pair_bias=True):
+                dist_atoms="from_args", fuse_pair_bias=True, d_pair=None):
         cfg = tiny_config() if args.smoke else default_config()
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(
@@ -82,6 +91,7 @@ def main(argv=None) -> int:
                 dist_atoms=(args.dist_atoms if dist_atoms == "from_args"
                             else dist_atoms),
                 fuse_pair_bias=fuse_pair_bias,
+                **({} if d_pair is None else {"d_pair_emb": d_pair}),
             )
         )
         harness = DiffAb(cfg)
@@ -115,6 +125,7 @@ def main(argv=None) -> int:
             "batch_size": bsz, "remat": remat, "pool": pool,
             "remat_pair": remat_pair, "dist_atoms": cfg.model.dist_atoms,
             "fuse_pair_bias": fuse_pair_bias,
+            "d_pair_emb": cfg.model.d_pair_emb,
             "steps_per_sec": round(sps, 3),
             "samples_per_sec": round(sps * bsz, 1),
             "train_tflops": round(fl * sps / 1e12, 2),
@@ -125,6 +136,25 @@ def main(argv=None) -> int:
         }
 
     rows = []
+    if args.ab_d_pair:
+        # pair-representation width at the production setting, one process
+        da = None if args.smoke else 4
+        for bsz in args.batch_sizes:
+            for dpw in args.ab_d_pair:
+                try:
+                    r = measure(bsz, False, dist_atoms=da, d_pair=dpw)
+                except Exception as e:
+                    r = {"batch_size": bsz, "dist_atoms": da,
+                         "d_pair_emb": dpw,
+                         "error": f"{type(e).__name__}: {str(e)[:200]}"}
+                rows.append(r)
+                log(json.dumps(r))
+        out = {"device": str(dev), "L": L, "rows": rows}
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=2)
+        log(f"wrote {args.out}")
+        return 0
     if args.ab_fuse_pair_bias:
         # fuse on/off x dist_atoms {all-atom, 4} at each batch, one process
         dist_arms = [None] if args.smoke else [None, 4]

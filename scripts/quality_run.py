@@ -101,6 +101,11 @@ def parse_args(argv=None):
                    help="Atoms entering the pair distance feature "
                         "(ModelConfig.dist_atoms; 4 = backbone-only, the "
                         "train-HBM lever — DESIGN.md §3)")
+    p.add_argument("--d-pair", type=int, default=None,
+                   help="ModelConfig.d_pair_emb override (the narrower-"
+                        "pair-representation train lever — DESIGN.md §5; "
+                        "changes the parameter budget, hence this quality "
+                        "gate)")
     p.add_argument("--seq-degeneracy", type=int, default=1,
                    help="Valid residues per (loop position, slot value) "
                         "in the corpus (>1 makes diversity measurable — "
@@ -224,6 +229,7 @@ def main(argv=None) -> int:
             self_conditioning=args.self_conditioning,
             self_conditioning_sequence=not args.sc_geometry_only,
             dist_atoms=args.dist_atoms,
+            **({} if args.d_pair is None else {"d_pair_emb": args.d_pair}),
         ),
         train=TrainConfig(
             batch_size=args.bsz, lr=args.lr, seed=args.seed,
