@@ -167,6 +167,25 @@ class TrainConfig:
     # multi-loop training at lr 6e-4 spirals deterministically with 1e-8.
     adam_eps: float = 1e-8
     grad_clip_norm: float = 0.0  # 0 disables (ref train.py:102 is broken anyway)
+    # UPDATE clipping (per-leaf RMS of the Adam-normalized update, applied
+    # AFTER scale_by_adam and BEFORE the lr scaling — optax
+    # clip_by_block_rms).  Gradient clipping cannot stop the measured
+    # spirals because the gradients are not large — the update g/sqrt(nu)
+    # is (tiny second moments after a head converges).  Capping the
+    # normalized update's per-leaf RMS at c bounds every parameter's
+    # per-step movement at ~c*lr regardless of nu, which covers BOTH
+    # observed mechanisms (tiny-nu burst AND the sc loss-landscape cliff
+    # that a raised adam_eps did not fix — QUALITY.md).  Steady-state Adam
+    # updates have per-element magnitude ~<=1, so c=1.0 is inert on healthy
+    # steps.  0 disables (exact optax.adam/adamw semantics).
+    update_clip_rms: float = 0.0
+    # Exponential moving average of the parameters (the standard diffusion-
+    # model stabilizer: Ho et al. 2020 use 0.9999).  When > 0, TrainState
+    # carries ema_params (initialized to the init params) and every step
+    # blends ema = d*ema + (1-d)*params.  Evaluation/sampling should use
+    # the EMA weights: checkpoint.restore_params prefers a checkpoint's
+    # ema_params when present.  0 disables (no extra state).
+    ema_decay: float = 0.0
     # D3PM hybrid loss (Austin et al. 2021): weight of the direct
     # cross-entropy on p_hat(s_0) added to the posterior KL.  The KL alone
     # barely supervises the context->s_0 map at large t (train/losses.py);

@@ -24,7 +24,7 @@ import copy
 import dataclasses
 import jax
 import jax.numpy as jnp
-import optax
+
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -81,13 +81,9 @@ def make_dp_train_step(harness: DiffAb, mesh: Mesh, donate: bool = True):
         # gradient all-reduce over ICI; shards weighted equally
         grads = jax.lax.pmean(grads, DP_AXIS)
         metrics = jax.lax.pmean(metrics, DP_AXIS)
-        updates, opt_state = harness.optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            step=state.step + 1, params=params, opt_state=opt_state
-        )
+        # identical pmean'd grads on every shard -> the update (+ EMA
+        # blend) stays replicated
+        new_state = harness.apply_gradients(state, grads)
         return new_state, {f"train/{k}": v for k, v in metrics.items()}
 
     mapped = shard_map(
@@ -157,6 +153,9 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
         step=jax.device_put(state.step, replicated(mesh)),
         params=params,
         opt_state=place_opt(state.opt_state),
+        ema_params=(None if state.ema_params is None
+                    else jax.tree.map(jax.device_put,
+                                      state.ema_params, p_shard)),
     )
 
 

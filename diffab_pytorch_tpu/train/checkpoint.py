@@ -106,8 +106,28 @@ def restore_checkpoint(
     return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
 
+def _checkpoint_has_ema(directory: str, step: int) -> bool:
+    """Whether the saved TrainState carries a non-empty ema_params subtree.
+
+    Read from the orbax item _METADATA (its tree_metadata maps stringified
+    key paths to array specs) — CheckpointManager.item_metadata needs a
+    handler registry this module does not keep."""
+    path = os.path.join(
+        os.path.abspath(directory), str(step), "default", "_METADATA"
+    )
+    if not os.path.exists(path):
+        return False
+    with open(path) as fh:
+        meta = json.load(fh)
+    tree = meta.get("tree_metadata", {})
+    # ema_params=None is serialized as the single bare key "('ema_params',)"
+    # — only NESTED paths ("('ema_params', 'params', ...)") mean weights
+    return any(k.startswith("('ema_params', ") for k in tree)
+
+
 def restore_params(
-    directory: str, params_template, step: Optional[int] = None
+    directory: str, params_template, step: Optional[int] = None,
+    prefer_ema: bool = True,
 ):
     """Restore ONLY the model params (+ step) from a TrainState checkpoint.
 
@@ -115,14 +135,22 @@ def restore_params(
     the optimizer state — and the opt_state tree shape depends on the
     TrainConfig the run used (lr schedule, weight decay), which a sampling
     CLI has no way to reconstruct.  A partial restore keeps checkpoints
-    usable across optimizer-config changes.  Returns (params, step)."""
+    usable across optimizer-config changes.
+
+    When the checkpoint carries EMA weights (TrainConfig.ema_decay > 0)
+    and `prefer_ema`, those are returned instead of the raw params — EMA
+    weights exist precisely to be the inference weights.  Returns
+    (params, step)."""
     mgr = _manager(directory)
     step = mgr.latest_step() if step is None else step
     if step is None:
         raise FileNotFoundError(f"no checkpoint found under {directory}")
+    params_key = "params"
+    if prefer_ema and _checkpoint_has_ema(directory, step):
+        params_key = "ema_params"
     item = {
         "step": jax.numpy.zeros((), jax.numpy.int32),
-        "params": params_template,
+        params_key: params_template,
     }
     restored = mgr.restore(
         step,
@@ -132,4 +160,4 @@ def restore_params(
             partial_restore=True,
         ),
     )
-    return restored["params"], int(restored["step"])
+    return restored[params_key], int(restored["step"])

@@ -47,6 +47,9 @@ class TrainState:
     step: jax.Array
     params: dict
     opt_state: optax.OptState
+    # EMA of params (TrainConfig.ema_decay > 0) — None when disabled, so
+    # states/checkpoints from runs without EMA keep their pytree structure.
+    ema_params: dict | None = None
 
 
 @flax.struct.dataclass
@@ -105,17 +108,21 @@ class DiffAb:
             lr = optax.linear_schedule(0.0, t.lr, t.lr_warmup_steps)
         else:
             lr = t.lr  # constant — the reference's choice (train.py:97)
+        # Decomposed adam/adamw (optax.adam == scale_by_adam + lr scaling;
+        # adamw adds add_decayed_weights between them) so UPDATE clipping
+        # can sit after the normalization and before the lr — see
+        # TrainConfig.update_clip_rms.  Exactly optax.adam(w) semantics
+        # when update_clip_rms == 0.
         txs = []
         if t.grad_clip_norm > 0:
             txs.append(optax.clip_by_global_norm(t.grad_clip_norm))
+        txs.append(optax.scale_by_adam(b1=t.betas[0], b2=t.betas[1],
+                                       eps=t.adam_eps))
+        if t.update_clip_rms > 0:
+            txs.append(optax.clip_by_block_rms(t.update_clip_rms))
         if t.weight_decay > 0:
-            txs.append(
-                optax.adamw(lr, b1=t.betas[0], b2=t.betas[1],
-                            eps=t.adam_eps, weight_decay=t.weight_decay)
-            )
-        else:
-            txs.append(optax.adam(lr, b1=t.betas[0], b2=t.betas[1],
-                                  eps=t.adam_eps))
+            txs.append(optax.add_decayed_weights(t.weight_decay))
+        txs.append(optax.scale_by_learning_rate(lr))
         return optax.chain(*txs)
 
     def init(self, key: jax.Array, sample_batch: ProteinBatch) -> TrainState:
@@ -148,6 +155,8 @@ class DiffAb:
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=jax.jit(self.optimizer.init)(params),
+            ema_params=(jax.tree.map(jnp.copy, params)
+                        if self.config.train.ema_decay > 0 else None),
         )
         if default.platform != cpu.platform:
             state = jax.device_put(state, default)
@@ -347,15 +356,26 @@ class DiffAb:
             has_aux=True,
         )
         (_, metrics), grads = grad_fn(state.params)
+        new_state = self.apply_gradients(state, grads)
+        metrics = {f"train/{k}": v for k, v in metrics.items()}
+        return new_state, metrics
+
+    def apply_gradients(self, state: TrainState, grads) -> TrainState:
+        """Optimizer update + param apply + EMA blend — the shared tail of
+        every train step (single-device, pool, and parallel/dp.py)."""
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            step=state.step + 1, params=params, opt_state=opt_state
+        ema = state.ema_params
+        if ema is not None:
+            d = self.config.train.ema_decay
+            ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                               ema, params)
+        return TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema,
         )
-        metrics = {f"train/{k}": v for k, v in metrics.items()}
-        return new_state, metrics
 
     def make_train_step(self, donate: bool = True):
         """Build the jitted single-device train step:

@@ -106,6 +106,15 @@ def parse_args(argv=None):
                         "pair-representation train lever — DESIGN.md §5; "
                         "changes the parameter budget, hence this quality "
                         "gate)")
+    p.add_argument("--update-clip-rms", type=float, default=0.0,
+                   help="Per-leaf RMS cap on the Adam-normalized update "
+                        "(TrainConfig.update_clip_rms; bounds per-step "
+                        "parameter movement at ~cap*lr — the spiral "
+                        "counter that works where grad clipping and "
+                        "adam_eps measured useless).  0 disables")
+    p.add_argument("--ema", type=float, default=0.0,
+                   help="Parameter-EMA decay (TrainConfig.ema_decay); "
+                        "> 0 evaluates/saves the EMA weights.  0 disables")
     p.add_argument("--seq-degeneracy", type=int, default=1,
                    help="Valid residues per (loop position, slot value) "
                         "in the corpus (>1 makes diversity measurable — "
@@ -234,6 +243,8 @@ def main(argv=None) -> int:
         train=TrainConfig(
             batch_size=args.bsz, lr=args.lr, seed=args.seed,
             grad_clip_norm=1.0, adam_eps=args.adam_eps,
+            update_clip_rms=args.update_clip_rms,
+            ema_decay=args.ema,
             # cosine decay over the whole run: the cure for the
             # late-training Adam spiral (config.py lr_decay_steps note)
             lr_warmup_steps=min(100, args.steps // 10),
@@ -474,7 +485,8 @@ def main(argv=None) -> int:
     log(f"checkpoint saved to {ckpt_dir} @ step {int(state.step)}")
 
     log("evaluating TRAINED model on both val splits")
-    results["trained"] = eval_params(state.params, "trained")
+    eval_p = state.params if state.ema_params is None else state.ema_params
+    results["trained"] = eval_params(eval_p, "trained")
 
     results["meta"] = {
         "corpus": "compositional",
@@ -489,6 +501,9 @@ def main(argv=None) -> int:
         "batch_size": args.bsz,
         "lr": args.lr,
         "t_restart": args.t_restart,
+        "seed": args.seed,
+        "update_clip_rms": args.update_clip_rms,
+        "ema_decay": args.ema,
         "params_m": n_params / 1e6,
         "self_conditioning": args.self_conditioning,
         "sc_schedule": {

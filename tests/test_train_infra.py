@@ -351,3 +351,106 @@ def test_fit_divergence_guard(tmp_path):
     # the final checkpoint holds the good snapshot too (the exploded
     # step-5 periodic checkpoint was pruned)
     assert ckpt.latest_step(str(tmp_path / "ck")) == 2
+
+
+# ---------------------------------------------------------------------------
+# Robust-training knobs (round 3): update clipping + parameter EMA
+# ---------------------------------------------------------------------------
+
+def test_optimizer_decomposition_matches_optax_adam(harness, batch):
+    """With update_clip_rms=0 the decomposed chain (scale_by_adam +
+    scale_by_learning_rate) must produce bit-identical updates to
+    optax.adam — the decomposition exists only to give the update clip a
+    seat between the normalization and the lr."""
+    import optax
+
+    state = harness.init(jax.random.key(11), batch)
+    (_, _), grads = jax.value_and_grad(
+        lambda p: harness.loss_fn(p, jax.random.key(12), batch),
+        has_aux=True,
+    )(state.params)
+
+    t = harness.config.train
+    ref = optax.adam(t.lr, b1=t.betas[0], b2=t.betas[1], eps=t.adam_eps)
+    ref_updates, _ = jax.jit(ref.update)(
+        grads, jax.jit(ref.init)(state.params), state.params
+    )
+    ours_updates, _ = jax.jit(harness.optimizer.update)(
+        grads, state.opt_state, state.params
+    )
+    for a, b in zip(jax.tree.leaves(ref_updates), jax.tree.leaves(ours_updates)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_update_clip_bounds_parameter_movement(batch):
+    """update_clip_rms=c bounds every leaf's per-step movement at
+    c * lr in RMS — even against adversarially scaled gradients (the
+    tiny-nu burst regime grad clipping cannot bound)."""
+    import dataclasses
+
+    from diffab_pytorch_tpu.config import TrainConfig, tiny_config
+
+    cap, lr = 1.0, 1e-2
+    cfg = dataclasses.replace(
+        tiny_config(),
+        train=TrainConfig(lr=lr, update_clip_rms=cap),
+    )
+    h = DiffAb(cfg)
+    state = h.init(jax.random.key(13), batch)
+    step = h.make_train_step(donate=False)
+    new_state, _ = step(state, batch, jax.random.key(14))
+    for p0, p1 in zip(jax.tree.leaves(state.params),
+                      jax.tree.leaves(new_state.params)):
+        delta = np.asarray(p1) - np.asarray(p0)
+        rms = float(np.sqrt(np.mean(delta**2)))
+        assert rms <= cap * lr * (1 + 1e-5), rms
+
+
+def test_ema_blend_and_checkpoint_preference(batch, tmp_path):
+    """EMA params follow ema = d*ema + (1-d)*params each step, ride the
+    checkpoint, and restore_params prefers them; checkpoints WITHOUT EMA
+    keep returning the raw params."""
+    import dataclasses
+
+    from diffab_pytorch_tpu.config import TrainConfig, tiny_config
+
+    d = 0.5  # aggressive decay so the blend is visibly mid-way
+    cfg = dataclasses.replace(
+        tiny_config(), train=TrainConfig(lr=1e-3, ema_decay=d)
+    )
+    h = DiffAb(cfg)
+    state0 = h.init(jax.random.key(15), batch)
+    assert state0.ema_params is not None
+    step = h.make_train_step(donate=False)
+    state1, _ = step(state0, batch, jax.random.key(16))
+
+    # one step from ema == params0: expected ema1 = d*params0 + (1-d)*params1
+    for e0, p1, e1 in zip(jax.tree.leaves(state0.params),
+                          jax.tree.leaves(state1.params),
+                          jax.tree.leaves(state1.ema_params)):
+        want = d * np.asarray(e0, np.float64) + (1 - d) * np.asarray(p1, np.float64)
+        np.testing.assert_allclose(np.asarray(e1), want, rtol=0, atol=1e-6)
+
+    dd = str(tmp_path / "ema_ck")
+    ckpt.save_checkpoint(dd, state1)
+    got, at = ckpt.restore_params(dd, state0.params)
+    assert at == 1
+    for g, e in zip(jax.tree.leaves(got), jax.tree.leaves(state1.ema_params)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(e))
+    raw, _ = ckpt.restore_params(dd, state0.params, prefer_ema=False)
+    for g, p in zip(jax.tree.leaves(raw), jax.tree.leaves(state1.params)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(p))
+
+
+def test_restore_params_without_ema_unchanged(harness, batch, tmp_path):
+    """prefer_ema on a checkpoint from an ema_decay=0 run silently falls
+    back to the raw params (backwards compatibility with every existing
+    checkpoint)."""
+    state = harness.init(jax.random.key(17), batch)
+    assert state.ema_params is None
+    d = str(tmp_path / "noema_ck")
+    ckpt.save_checkpoint(d, state)
+    got, at = ckpt.restore_params(d, state.params, prefer_ema=True)
+    assert at == 0
+    for g, p in zip(jax.tree.leaves(got), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(p))
