@@ -53,15 +53,17 @@ def parse_args(argv=None):
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("-l", "--learning-rate", type=float, default=1e-4)
     p.add_argument("--grad-clip", type=float, default=0.0)
-    p.add_argument("--update-clip-rms", type=float, default=0.0,
+    p.add_argument("--update-clip-rms", type=float, default=1.0,
                    help="Per-leaf RMS cap on the Adam-normalized update "
                         "(TrainConfig.update_clip_rms) — bounds per-step "
                         "parameter movement at ~cap*lr; the measured "
-                        "counter to late-training Adam spirals.  0 off")
-    p.add_argument("--ema", type=float, default=0.0,
+                        "counter to late-training Adam spirals (default "
+                        "ON per the QUALITY.md seed matrix).  0 off")
+    p.add_argument("--ema", type=float, default=0.999,
                    help="Parameter-EMA decay (TrainConfig.ema_decay); "
                         "checkpoints then carry EMA weights, which "
-                        "cli.sample/evaluate prefer at restore.  0 off")
+                        "cli.sample/evaluate prefer at restore (robust "
+                        "default, QUALITY.md seed matrix).  0 off")
     p.add_argument("--seq-ce-weight", type=float, default=1.0,
                    help="D3PM hybrid loss: weight of the direct CE on "
                         "p_hat(s_0); 0 = the reference's pure-KL objective")

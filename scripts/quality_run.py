@@ -106,15 +106,18 @@ def parse_args(argv=None):
                         "pair-representation train lever — DESIGN.md §5; "
                         "changes the parameter budget, hence this quality "
                         "gate)")
-    p.add_argument("--update-clip-rms", type=float, default=0.0,
+    p.add_argument("--update-clip-rms", type=float, default=1.0,
                    help="Per-leaf RMS cap on the Adam-normalized update "
                         "(TrainConfig.update_clip_rms; bounds per-step "
                         "parameter movement at ~cap*lr — the spiral "
                         "counter that works where grad clipping and "
-                        "adam_eps measured useless).  0 disables")
-    p.add_argument("--ema", type=float, default=0.0,
+                        "adam_eps measured useless).  Default ON: the "
+                        "seed matrix in QUALITY.md shows the plain lr "
+                        "6e-4 recipe diverges on 2/3 seeds.  0 disables")
+    p.add_argument("--ema", type=float, default=0.999,
                    help="Parameter-EMA decay (TrainConfig.ema_decay); "
-                        "> 0 evaluates/saves the EMA weights.  0 disables")
+                        "> 0 evaluates/saves the EMA weights (robust "
+                        "default, QUALITY.md seed matrix).  0 disables")
     p.add_argument("--seq-degeneracy", type=int, default=1,
                    help="Valid residues per (loop position, slot value) "
                         "in the corpus (>1 makes diversity measurable — "
