@@ -22,6 +22,7 @@ from diffab_pytorch_tpu.config import (
     ModelConfig,
     TrainConfig,
     default_config,
+    production_config,
     tiny_config,
 )
 from diffab_pytorch_tpu.constants import AA, ATOM, CDR, CDR_NAMES

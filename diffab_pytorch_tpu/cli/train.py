@@ -23,6 +23,7 @@ from diffab_pytorch_tpu.config import (
     DiffAbConfig,
     TrainConfig,
     default_config,
+    production_config,
     tiny_config,
 )
 from diffab_pytorch_tpu.data.dataset import PatchDataset
@@ -48,11 +49,24 @@ def parse_args(argv=None):
                         "gather batches on device (per-step transfer = "
                         "4*batch index bytes; ~165 KB HBM per sample). "
                         "Fastest option on tunneled/remote backends.")
-    p.add_argument("-b", "--bsz", type=int, default=16)
+    p.add_argument("--production", action="store_true",
+                   help="Start from config.production_config(): the "
+                        "measured-best recipe (dist_atoms=4, d_pair 48, "
+                        "bf16, lr 6e-4 warmup+cosine over the run, "
+                        "grad/update clipping, EMA, mode dropout — every "
+                        "piece quality-gated, DESIGN.md §3 / QUALITY.md). "
+                        "Explicit recipe flags below still override.")
+    p.add_argument("-b", "--bsz", type=int, default=None,
+                   help="Batch size (default 16; 32 under --production)")
     p.add_argument("-e", "--epochs", type=int, default=60)
     p.add_argument("--max-steps", type=int, default=None)
-    p.add_argument("-l", "--learning-rate", type=float, default=1e-4)
-    p.add_argument("--grad-clip", type=float, default=0.0)
+    p.add_argument("-l", "--learning-rate", type=float, default=None,
+                   help="Peak lr (default 1e-4, the reference's value; "
+                        "6e-4 under --production where the cosine decay "
+                        "makes it stable)")
+    p.add_argument("--grad-clip", type=float, default=None,
+                   help="Global grad-norm clip (default 0 = off; 1.0 "
+                        "under --production)")
     p.add_argument("--update-clip-rms", type=float, default=1.0,
                    help="Per-leaf RMS cap on the Adam-normalized update "
                         "(TrainConfig.update_clip_rms) — bounds per-step "
@@ -67,20 +81,25 @@ def parse_args(argv=None):
     p.add_argument("--seq-ce-weight", type=float, default=1.0,
                    help="D3PM hybrid loss: weight of the direct CE on "
                         "p_hat(s_0); 0 = the reference's pure-KL objective")
-    p.add_argument("--lr-warmup-steps", type=int, default=0)
-    p.add_argument("--lr-decay-steps", type=int, default=0,
+    p.add_argument("--lr-warmup-steps", type=int, default=None,
+                   help="Warmup steps (default 0; min(100, steps/10) "
+                        "under --production)")
+    p.add_argument("--lr-decay-steps", type=int, default=None,
                    help="Cosine-decay horizon (includes warmup); 0 = "
-                        "constant lr.  Recommended = total planned steps "
-                        "(prevents the late-training Adam instability)")
+                        "constant lr (the default; under --production the "
+                        "full planned horizon).  Recommended = total "
+                        "planned steps (prevents the late-training Adam "
+                        "instability)")
     p.add_argument("-s", "--seed", type=int, default=42)
     p.add_argument("--tiny", action="store_true",
                    help="Tiny model preset (BASELINE config #1)")
-    p.add_argument("--mode-dropout", type=float, default=0.0,
+    p.add_argument("--mode-dropout", type=float, default=None,
                    help="Context-mode dropout: probability each that a "
                         "training sample is presented as fix-structure / "
                         "fix-sequence instead of codesign, so one "
                         "checkpoint supports all three conditioning modes "
-                        "at sampling time (TrainConfig.mode_dropout)")
+                        "at sampling time (TrainConfig.mode_dropout; "
+                        "default 0; 0.15 under --production)")
     p.add_argument("--self-conditioning", action="store_true",
                    help="Train with self-conditioning (feeds the previous "
                         "denoising estimate back in; ~1.3x step cost, "
@@ -108,12 +127,19 @@ def parse_args(argv=None):
                         "(TrainConfig.adam_eps)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (MXU-native; params stay f32)")
-    p.add_argument("--dist-atoms", type=int, default=None,
+    p.add_argument("--dist-atoms", type=int, default=-1,
                    help="Atoms entering the pair DISTANCE feature (by "
                         "index; 4 = backbone N/CA/C/O).  Default: all "
-                        "n_atoms (the reference's 225-channel kernel).  "
-                        "Narrowing cuts the dominant train-side HBM "
-                        "streams (ModelConfig.dist_atoms; DESIGN.md §3)")
+                        "n_atoms (the reference's 225-channel kernel; "
+                        "4 under --production).  Narrowing cuts the "
+                        "dominant train-side HBM streams "
+                        "(ModelConfig.dist_atoms; DESIGN.md §3); 0 "
+                        "forces all-atom explicitly")
+    p.add_argument("--d-pair", type=int, default=None,
+                   help="Pair-embedding width (ModelConfig.d_pair_emb; "
+                        "default 64, the reference's value; 48 under "
+                        "--production — +7-9%% samples/s, quality-gated "
+                        "in QUALITY.md)")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--csv", default=None, help="Metrics CSV path")
@@ -126,20 +152,45 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def build_config(args) -> DiffAbConfig:
-    cfg = tiny_config() if args.tiny else default_config()
+def build_config(args, horizon: int = 0) -> DiffAbConfig:
+    """Resolve flags into a DiffAbConfig.
+
+    Recipe flags default to None (or -1 for --dist-atoms, where None
+    means all-atom) so --production can fill them from
+    production_config() while explicit user values always win.
+    ``horizon`` = total planned optimizer steps (for the production
+    cosine-decay default; 0 = unknown).
+    """
+    prod = production_config(steps=max(horizon, 1)) if args.production \
+        else None
+    if args.tiny:
+        cfg = tiny_config()
+    elif args.production:
+        cfg = prod
+    else:
+        cfg = default_config()
+
+    def pick(user, prod_value, plain_default):
+        if user is not None:
+            return user
+        return prod_value if prod is not None else plain_default
+
     train = TrainConfig(
-        batch_size=args.bsz,
+        batch_size=pick(args.bsz, prod.train.batch_size if prod else 0, 16),
         epochs=args.epochs,
-        lr=args.learning_rate,
-        grad_clip_norm=args.grad_clip,
+        lr=pick(args.learning_rate, prod.train.lr if prod else 0, 1e-4),
+        grad_clip_norm=pick(args.grad_clip,
+                            prod.train.grad_clip_norm if prod else 0, 0.0),
         seq_ce_weight=args.seq_ce_weight,
-        lr_warmup_steps=args.lr_warmup_steps,
-        lr_decay_steps=args.lr_decay_steps,
+        lr_warmup_steps=pick(args.lr_warmup_steps,
+                             prod.train.lr_warmup_steps if prod else 0, 0),
+        lr_decay_steps=pick(args.lr_decay_steps,
+                            prod.train.lr_decay_steps if prod else 0, 0),
         seed=args.seed,
         val_pct=args.val_pct,
         checkpoint_dir=args.checkpoint_dir,
-        mode_dropout=args.mode_dropout,
+        mode_dropout=pick(args.mode_dropout,
+                          prod.train.mode_dropout if prod else 0, 0.0),
         sc_rate=args.sc_rate,
         sc_onset_steps=args.sc_onset,
         sc_rate_warmup=args.sc_rate_warmup,
@@ -149,13 +200,22 @@ def build_config(args) -> DiffAbConfig:
         ema_decay=args.ema,
     )
     cfg = dataclasses.replace(cfg, train=train)
-    if args.bf16:
+    if args.bf16 or args.production:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16")
         )
-    if args.dist_atoms is not None:
+    dist_atoms = args.dist_atoms
+    if dist_atoms == -1:  # unset: production default 4, else all-atom
+        dist_atoms = 4 if args.production else None
+    elif dist_atoms == 0:  # explicit all-atom
+        dist_atoms = None
+    if dist_atoms != cfg.model.dist_atoms:
         cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, dist_atoms=args.dist_atoms)
+            cfg, model=dataclasses.replace(cfg.model, dist_atoms=dist_atoms)
+        )
+    if args.d_pair is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, d_pair_emb=args.d_pair)
         )
     if args.self_conditioning:
         cfg = dataclasses.replace(
@@ -175,7 +235,6 @@ def main(argv=None) -> int:
         jax.distributed.initialize()
         print(f"[train] multihost: process {jax.process_index()} of "
               f"{jax.process_count()}, {jax.device_count()} global devices")
-    cfg = build_config(args)
 
     ds = PatchDataset.from_dir(args.data_dir, cdrs_to_generate=args.cdrs)
     if len(ds) == 0:
@@ -186,6 +245,13 @@ def main(argv=None) -> int:
     n_val = int(len(order) * args.val_pct)
     val_paths = [ds.paths[i] for i in order[:n_val]]
     train_paths = [ds.paths[i] for i in order[n_val:]]
+
+    # total planned optimizer steps — the production preset's cosine
+    # horizon (peak lr 6e-4 is only stable decaying over the full run)
+    bsz = args.bsz or (32 if args.production else 16)
+    steps_per_epoch = max(len(train_paths) // max(bsz, 1), 1)
+    horizon = args.max_steps or args.epochs * steps_per_epoch
+    cfg = build_config(args, horizon=horizon)
     train_ds = PatchDataset(train_paths, cdrs_to_generate=args.cdrs,
                             cache=not args.no_cache_data)
     val_ds = PatchDataset(val_paths, cdrs_to_generate=args.cdrs) if n_val else None

@@ -228,6 +228,41 @@ def test_sample_cli_noise_and_clip_flag_parsing():
         assert mapped == want, raw
 
 
+def test_train_cli_production_preset_resolution():
+    """--production fills the recipe knobs from production_config()
+    (every piece quality-gated — QUALITY.md); explicit flags override;
+    the plain path keeps the reference defaults."""
+    plain = train_cli.build_config(
+        train_cli.parse_args(["--data-dir", "x"]), horizon=1000)
+    assert plain.train.batch_size == 16 and plain.train.lr == 1e-4
+    assert plain.train.lr_decay_steps == 0 and plain.train.mode_dropout == 0
+    assert plain.model.dist_atoms is None and plain.model.d_pair_emb == 64
+    assert plain.model.compute_dtype == "float32"
+    # the robust optimizer knobs are default-on everywhere (seed matrix)
+    assert plain.train.update_clip_rms == 1.0
+    assert plain.train.ema_decay == 0.999
+
+    prod = train_cli.build_config(
+        train_cli.parse_args(["--data-dir", "x", "--production"]),
+        horizon=12000)
+    assert prod.train.batch_size == 32 and prod.train.lr == 6e-4
+    assert prod.train.lr_warmup_steps == 100
+    assert prod.train.lr_decay_steps == 12000
+    assert prod.train.grad_clip_norm == 1.0
+    assert prod.train.mode_dropout == 0.15
+    assert prod.model.dist_atoms == 4 and prod.model.d_pair_emb == 48
+    assert prod.model.compute_dtype == "bfloat16"
+
+    over = train_cli.build_config(
+        train_cli.parse_args([
+            "--data-dir", "x", "--production", "-l", "3e-4",
+            "--dist-atoms", "0", "--d-pair", "64", "-b", "64",
+        ]), horizon=5000)
+    assert over.train.lr == 3e-4 and over.train.batch_size == 64
+    assert over.model.dist_atoms is None and over.model.d_pair_emb == 64
+    assert over.train.lr_decay_steps == 5000
+
+
 @pytest.mark.slow
 def test_cli_sample_restores_sc_checkpoint(workdir):
     """A self-conditioning checkpoint has a wider fuse layer; cli.sample
