@@ -121,6 +121,10 @@ def parse_args(argv=None):
                         "conditioned half of the batch; <1 keeps the "
                         "sequence head's gradient dominated by the cold "
                         "half (TrainConfig.sc_seq_loss_weight)")
+    p.add_argument("--sc-per-residue", action="store_true",
+                   help="Draw the self-conditioning mask per RESIDUE "
+                        "instead of per sample — every sample keeps cold "
+                        "rows (TrainConfig.sc_per_residue)")
     p.add_argument("--adam-eps", type=float, default=1e-8,
                    help="Adam epsilon; raising it (e.g. 1e-5) bounds the "
                         "late-training tiny-second-moment spiral "
@@ -195,6 +199,7 @@ def build_config(args, horizon: int = 0) -> DiffAbConfig:
         sc_onset_steps=args.sc_onset,
         sc_rate_warmup=args.sc_rate_warmup,
         sc_seq_loss_weight=args.sc_seq_loss_weight,
+        sc_per_residue=args.sc_per_residue,
         adam_eps=args.adam_eps,
         update_clip_rms=args.update_clip_rms,
         ema_decay=args.ema,

@@ -218,10 +218,17 @@ class TrainConfig:
     #                      (KL + CE) on the conditioned half (<1 keeps the
     #                      sequence head's gradient dominated by the cold
     #                      half; geometry losses stay unweighted)
+    #   sc_per_residue     draw the conditioning mask per RESIDUE instead
+    #                      of per sample: every training sample is then
+    #                      partially cold, so the barcode-rule gradient is
+    #                      never fully diluted by a conditioned sample —
+    #                      the last schedule-shape mitigation of the
+    #                      multi-loop sc/AAR trade (QUALITY.md)
     sc_rate: float = 0.5
     sc_onset_steps: int = 0
     sc_rate_warmup: int = 0
     sc_seq_loss_weight: float = 1.0
+    sc_per_residue: bool = False
     # Context-mode dropout: probability that a training sample is
     # presented as fix-structure (geometry un-noised and fully visible,
     # sequence-only supervision) and, with the same probability, as

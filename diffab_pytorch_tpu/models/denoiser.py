@@ -71,7 +71,7 @@ class Denoiser(nn.Module):
         pair_biases: list | None = None,  # precomputed per-layer (b,h,L,L)
         sc_translations_x0: jax.Array | None = None,  # (b, L, 3) prev x0_hat
         sc_seq_probs: jax.Array | None = None,  # (b, L, K) prev p_hat(s_0)
-        sc_mask: jax.Array | None = None,  # (b,) 1 where the estimate is real
+        sc_mask: jax.Array | None = None,  # (b,) or (b, L): estimate is real
     ) -> Dict[str, jax.Array]:
         cfg = self.cfg
         dt = cfg.dtype
@@ -125,7 +125,8 @@ class Denoiser(nn.Module):
                     else generation_mask.astype(jnp.float32)
                 )
                 if sc_mask is not None:
-                    gate = gate * sc_mask.astype(jnp.float32)[:, None]
+                    m = sc_mask.astype(jnp.float32)
+                    gate = gate * (m if m.ndim == 2 else m[:, None])
                 gate = gate[..., None]
                 sc_local = frames_apply_inverse(
                     sc_translations_x0.astype(jnp.float32),

@@ -289,11 +289,21 @@ class DiffAb:
                 self.sched, noised.translations_t,
                 first["translations_eps"], t,
             )
-            sc_mask = jax.random.bernoulli(k_sc, self._sc_rate(step), (b,))
+            # Per-sample (b,) by default; per-RESIDUE (b, L) when
+            # TrainConfig.sc_per_residue — each residue is conditioned
+            # independently, so every sample keeps cold rows and the
+            # barcode-rule gradient is never fully diluted (QUALITY.md
+            # multi-loop sc/AAR trade).
+            sc_shape = ((b, batch.seq_idx.shape[1])
+                        if self.config.train.sc_per_residue else (b,))
+            sc_mask = jax.random.bernoulli(
+                k_sc, self._sc_rate(step), sc_shape)
             if struct_visible is not None:
                 # the structure estimate is meaningless (and the implied
                 # x0_hat ill-conditioned) when the geometry is fixed
-                sc_mask = sc_mask & ~struct_visible
+                sv = (struct_visible[:, None] if sc_mask.ndim == 2
+                      else struct_visible)
+                sc_mask = sc_mask & ~sv
             denoised = denoise(
                 sc_translations_x0=jax.lax.stop_gradient(x0_hat),
                 sc_seq_probs=jax.lax.stop_gradient(first["seq_posterior"]),
@@ -322,7 +332,7 @@ class DiffAb:
         if (self.config.model.self_conditioning
                 and self.config.train.sc_seq_loss_weight != 1.0):
             w = self.config.train.sc_seq_loss_weight
-            seq_w = jnp.where(sc_mask, w, 1.0)
+            seq_w = jnp.where(sc_mask, w, 1.0)  # (b,) or (b, L)
         losses = diffab_losses(
             denoised,
             seq_log_posterior_pred,

@@ -67,7 +67,7 @@ def diffab_losses(
     residue_mask: jax.Array,  # (b, L)
     seq_idx_t0_true: jax.Array | None = None,  # (b, L) — for the CE term
     seq_ce_weight: float = 0.0,
-    seq_sample_weight: jax.Array | None = None,  # (b,) — per-sample weight
+    seq_sample_weight: jax.Array | None = None,  # (b,) or (b, L) weight
     seq_gen_mask: jax.Array | None = None,  # (b, L) — seq-term positions
     struct_gen_mask: jax.Array | None = None,  # (b, L) — geometry-term positions
 ) -> Dict[str, jax.Array]:
@@ -105,9 +105,10 @@ def diffab_losses(
     # schedule (TrainConfig.sc_seq_loss_weight) to keep the barcode-rule
     # gradient dominated by the unconditioned half.
     if seq_sample_weight is not None:
-        seq_mask = seq_loss_mask * seq_sample_weight[:, None].astype(
-            jnp.float32
-        )
+        w = seq_sample_weight
+        if w.ndim == 1:
+            w = w[:, None]
+        seq_mask = seq_loss_mask * w.astype(jnp.float32)
         seq_denom = jnp.maximum(seq_mask.sum(), 1.0)
     else:
         seq_mask, seq_denom = seq_loss_mask, seq_loss_denom

@@ -88,6 +88,9 @@ def parse_args(argv=None):
     p.add_argument("--sc-seq-loss-weight", type=float, default=1.0,
                    help="Sequence-loss weight on the conditioned half "
                         "(<1 keeps the seq head's gradient cold-dominated)")
+    p.add_argument("--sc-per-residue", action="store_true",
+                   help="Per-residue sc mask: every sample keeps cold rows "
+                        "(TrainConfig.sc_per_residue)")
     p.add_argument("--mode-dropout", type=float, default=0.0,
                    help="Context-mode dropout: probability each that a "
                         "training sample is presented as fix-structure / "
@@ -256,6 +259,7 @@ def main(argv=None) -> int:
             sc_onset_steps=args.sc_onset,
             sc_rate_warmup=args.sc_rate_warmup,
             sc_seq_loss_weight=args.sc_seq_loss_weight,
+            sc_per_residue=args.sc_per_residue,
             mode_dropout=args.mode_dropout,
         ),
     )
@@ -513,6 +517,7 @@ def main(argv=None) -> int:
             "rate": args.sc_rate, "onset": args.sc_onset,
             "rate_warmup": args.sc_rate_warmup,
             "seq_loss_weight": args.sc_seq_loss_weight,
+            "per_residue": args.sc_per_residue,
         },
         "backend": jax.default_backend(),
         "compute_dtype": cfg.model.compute_dtype,

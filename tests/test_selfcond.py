@@ -391,6 +391,79 @@ def test_seq_sample_weight_mechanism():
                                float(base["translations_loss"]), rtol=1e-7)
 
 
+def test_sc_mask_per_residue(harness, state, batch):
+    """sc_mask may be (b, L): all-zeros equals no estimate, all-ones equals
+    the per-sample ones mask, and a mixed mask is its own program (the gate
+    is the only path in, per residue)."""
+    beta = jnp.full((B,), 0.2)
+    kw = dict(
+        sc_translations_x0=batch.translations + 3.0,
+        sc_seq_probs=jnp.full((B, L, 21), 1 / 21.0),
+    )
+    base = harness.model.apply(
+        state.params, batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta,
+    )
+    off = harness.model.apply(
+        state.params, batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta, sc_mask=jnp.zeros((B, L)), **kw,
+    )
+    for k in base:
+        np.testing.assert_allclose(np.asarray(base[k]), np.asarray(off[k]),
+                                   atol=1e-6)
+    on_rows = harness.model.apply(
+        state.params, batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta, sc_mask=jnp.ones((B, L)), **kw,
+    )
+    on_samples = harness.model.apply(
+        state.params, batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta, sc_mask=jnp.ones((B,)), **kw,
+    )
+    np.testing.assert_allclose(np.asarray(on_rows["translations_eps"]),
+                               np.asarray(on_samples["translations_eps"]),
+                               atol=1e-6)
+    half = jnp.arange(L)[None, :] < L // 2
+    mixed = harness.model.apply(
+        state.params, batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta, sc_mask=jnp.broadcast_to(half, (B, L)),
+        **kw,
+    )
+    assert float(jnp.abs(mixed["translations_eps"]
+                         - base["translations_eps"]).max()) > 1e-4
+    assert float(jnp.abs(mixed["translations_eps"]
+                         - on_rows["translations_eps"]).max()) > 1e-4
+
+
+def test_sc_per_residue_training(batch):
+    """TrainConfig.sc_per_residue: the loss runs finite end to end, differs
+    from the per-sample draw under the same key, and gradients stay finite."""
+    from diffab_pytorch_tpu.config import TrainConfig
+
+    common = dict(batch_size=B, lr=1e-3, seed=0)
+    h_row = DiffAb(dc.replace(sc_config(), train=TrainConfig(
+        sc_per_residue=True, **common)))
+    h_samp = DiffAb(dc.replace(sc_config(), train=TrainConfig(**common)))
+    state = h_samp.init(jax.random.key(1), batch)
+
+    l_row, m = h_row.loss_fn(state.params, jax.random.key(5), batch, step=1)
+    assert np.isfinite(float(l_row))
+    diffs = []
+    for k in range(6):
+        a = h_row.loss_fn(state.params, jax.random.key(k), batch, step=1)[0]
+        b_ = h_samp.loss_fn(state.params, jax.random.key(k), batch, step=1)[0]
+        diffs.append(abs(float(a) - float(b_)))
+    assert max(diffs) > 1e-7
+    g = jax.grad(
+        lambda p: h_row.loss_fn(p, jax.random.key(5), batch, step=1)[0]
+    )(state.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+    # ... and composes with the seq-loss down-weight (the (b, L) weight path)
+    h_both = DiffAb(dc.replace(sc_config(), train=TrainConfig(
+        sc_per_residue=True, sc_seq_loss_weight=0.1, **common)))
+    l2, _ = h_both.loss_fn(state.params, jax.random.key(5), batch, step=1)
+    assert np.isfinite(float(l2))
+
+
 def test_cli_train_sc_schedule_flags():
     """The production train CLI wires the sc-schedule knobs (and adam_eps)
     into TrainConfig — parity with scripts/quality_run.py's surface."""
@@ -400,9 +473,10 @@ def test_cli_train_sc_schedule_flags():
         "--data-dir", "/nonexistent", "--self-conditioning",
         "--sc-geometry-only", "--sc-rate", "0.4", "--sc-onset", "123",
         "--sc-rate-warmup", "456", "--sc-seq-loss-weight", "0.2",
-        "--adam-eps", "1e-5",
+        "--sc-per-residue", "--adam-eps", "1e-5",
     ])
     cfg = train_cli.build_config(args)
+    assert cfg.train.sc_per_residue
     assert cfg.model.self_conditioning
     assert not cfg.model.self_conditioning_sequence
     assert cfg.train.sc_rate == 0.4
