@@ -134,6 +134,21 @@ def parse_args(argv=None):
                         "measuring new sampling modes against an existing "
                         "run without the 12k-step retrain).  Merges into "
                         "the existing quality.json when present.")
+    p.add_argument("--ckpt-every", type=int, default=0,
+                   help="Save a mid-run checkpoint every N steps (0 = auto, "
+                        "steps//8; negative disables).  Long runs through "
+                        "the remote-compile tunnel can lose the backend "
+                        "mid-training — a 48k-step run with no mid-run "
+                        "checkpoint loses everything (measured the hard "
+                        "way).  Retention is orbax max_to_keep=3.")
+    p.add_argument("--resume", action="store_true",
+                   help="Restore the latest {workdir}/checkpoints state and "
+                        "continue training from its step (same shuffled "
+                        "index stream — the per-step RNG folds state.step "
+                        "in-jit, so the continued run consumes the exact "
+                        "key sequence a straight-through run would).  The "
+                        "untrained-model eval is reloaded from the partial "
+                        "quality.json when present.")
     return p.parse_args(argv)
 
 
@@ -433,8 +448,33 @@ def main(argv=None) -> int:
         log(f"wrote {out_path}")
         return 0
 
-    log("evaluating UNTRAINED model on both val splits")
-    results = {"untrained": eval_params(untrained_params, "untrained")}
+    from diffab_pytorch_tpu.train.checkpoint import (
+        restore_checkpoint, save_model_config,
+    )
+
+    start_step = 0
+    if args.resume:
+        try:
+            state = restore_checkpoint(ckpt_dir, state)
+            start_step = int(state.step)
+            log(f"resume: restored {ckpt_dir} @ step {start_step}")
+        except FileNotFoundError:
+            log("resume: no checkpoint found — training from scratch")
+
+    results = None
+    if args.resume and os.path.exists(out_path):
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        if "untrained" in prev:
+            results = {"untrained": prev["untrained"]}
+            log("resume: reloaded untrained-model eval from quality.json")
+    if results is None:
+        log("evaluating UNTRAINED model on both val splits")
+        results = {"untrained": eval_params(untrained_params, "untrained")}
+        # partial write: a mid-training crash/resume does not repay the
+        # untrained eval (~10 min of sampling on the big corpora)
+        with open(out_path, "w") as fh:
+            json.dump({**results, "meta": {"partial": True}}, fh, indent=2)
 
     # ---- 4. train --------------------------------------------------------
     log(f"training: {args.steps} steps @ batch {args.bsz}")
@@ -458,13 +498,26 @@ def main(argv=None) -> int:
     # leave the loss finite-but-exploded (measured: 0.52 -> 33,545 between
     # two logging points of a 24k-step sc run) and a finite-only fallback
     # would ship the exploded parameters.
-    state_good, step_good, best_loss = state, 0, float("inf")
+    state_good, step_good, best_loss = state, start_step, float("inf")
     near_best = lambda v: np.isfinite(v) and v <= 3.0 * best_loss + 1.0
+    # Mid-run checkpoints: the remote-compile tunnel can drop mid-training
+    # and a 48k-step run without them loses everything.  The step counter
+    # rides state.step, so --resume continues the identical RNG stream.
+    ckpt_every = args.ckpt_every if args.ckpt_every else max(
+        args.steps // 8, 1
+    )
     t_train0 = time.time()
     for i, idx in enumerate(idx_iter):
         if i >= args.steps:
             break
+        if i < start_step:
+            continue  # consume the shuffle stream up to the restored step
         state, metrics = step_fn(state, pool, idx, base_key)
+        if ckpt_every > 0 and (i + 1) % ckpt_every == 0 and \
+                i + 1 < args.steps:
+            save_checkpoint(ckpt_dir, state)
+            save_model_config(ckpt_dir, cfg.model)
+            log(f"mid-run checkpoint saved @ step {int(state.step)}")
         if i % max(1, args.steps // 20) == 0 or i == args.steps - 1:
             terms = {
                 k.removeprefix("train/"): round(float(v), 4)
@@ -481,13 +534,12 @@ def main(argv=None) -> int:
             f"({best_loss}); falling back to the step-{step_good} snapshot")
         state = state_good
     train_wall = time.time() - t_train0
-    sps = args.steps * args.bsz / train_wall
-    log(f"trained {args.steps} steps in {train_wall:.1f}s "
+    steps_done = args.steps - start_step
+    sps = steps_done * args.bsz / train_wall
+    log(f"trained {steps_done} steps in {train_wall:.1f}s "
         f"({sps:.0f} samples/s incl. host input pipeline)")
 
     save_checkpoint(ckpt_dir, state)
-    from diffab_pytorch_tpu.train.checkpoint import save_model_config
-
     save_model_config(ckpt_dir, cfg.model)
     log(f"checkpoint saved to {ckpt_dir} @ step {int(state.step)}")
 
