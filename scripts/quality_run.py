@@ -141,6 +141,11 @@ def parse_args(argv=None):
                         "mid-training — a 48k-step run with no mid-run "
                         "checkpoint loses everything (measured the hard "
                         "way).  Retention is orbax max_to_keep=3.")
+    p.add_argument("--skip-untrained", action="store_true",
+                   help="Skip the untrained-model eval (~10 min on the big "
+                        "corpora).  For replicate runs whose purpose is the "
+                        "trained checkpoint (e.g. probe targets) — the "
+                        "untrained floor is already recorded by siblings.")
     p.add_argument("--resume", action="store_true",
                    help="Restore the latest {workdir}/checkpoints state and "
                         "continue training from its step (same shuffled "
@@ -468,6 +473,9 @@ def main(argv=None) -> int:
         if "untrained" in prev:
             results = {"untrained": prev["untrained"]}
             log("resume: reloaded untrained-model eval from quality.json")
+    if results is None and args.skip_untrained:
+        results = {"untrained": {}}
+        log("skipping untrained-model eval (--skip-untrained)")
     if results is None:
         log("evaluating UNTRAINED model on both val splits")
         results = {"untrained": eval_params(untrained_params, "untrained")}
