@@ -129,6 +129,10 @@ def parse_args(argv=None):
                         "(loop closure) before writing PDBs")
     p.add_argument("--data-parallel", action="store_true",
                    help="Fan designs out over all local devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="Initialize jax.distributed for a multi-host pod; "
+                        "with --data-parallel the fan-out spans the global "
+                        "mesh, results are gathered, process 0 writes")
     p.add_argument("--rank", action="store_true",
                    help="Score every design with the model-based "
                         "likelihood ranking (sampling/scoring.py; no "
@@ -160,6 +164,10 @@ def resolve_noise_t_max(noise_t_max, *, T, n_steps, noise_scale):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.multihost:
+        jax.distributed.initialize()
+        print(f"[sample] multihost: process {jax.process_index()} of "
+              f"{jax.process_count()}, {jax.device_count()} global devices")
 
     if args.patch:
         sample_dict = load_patch(args.patch)
@@ -238,6 +246,23 @@ def main(argv=None) -> int:
                 p, b, k, n_designs=args.n_samples, **kwargs
             )
         )(params, batch, key)
+
+    if jax.process_count() > 1:
+        # pod run: replicate the (dp-sharded) design rows to host on every
+        # process, then let only process 0 do the host-side post-processing
+        # and writes.  Fully-addressable leaves (the no-fan-out path, where
+        # every process computed identical designs) convert directly —
+        # process_allgather would stack per-process copies.
+        from jax.experimental import multihost_utils
+
+        def to_host(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return multihost_utils.process_allgather(x)
+            return np.asarray(x)
+
+        result = jax.tree.map(to_host, result)
+        if jax.process_index() != 0:
+            return 0
 
     os.makedirs(args.out_dir, exist_ok=True)
     scores = ranks = None

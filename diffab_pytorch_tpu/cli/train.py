@@ -264,7 +264,11 @@ def main(argv=None) -> int:
     harness = DiffAb(cfg)
     # record the architecture next to the weights so inference CLIs can
     # rebuild the exact parameter tree without re-supplying flags
-    ckpt_lib.save_model_config(args.checkpoint_dir, cfg.model)
+    # (process 0 only on a pod — identical content, avoid the write race)
+    import jax
+
+    if jax.process_index() == 0:
+        ckpt_lib.save_model_config(args.checkpoint_dir, cfg.model)
     logger = MetricLogger(
         csv_path=args.csv, use_wandb=args.wandb,
         config=dataclasses.asdict(cfg), print_every=cfg.train.log_every,

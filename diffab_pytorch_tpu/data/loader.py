@@ -40,7 +40,10 @@ class PrefetchLoader:
                     return
                 batch, info = item if isinstance(item, tuple) else (item, None)
                 if self._sharding is not None:
-                    batch = jax.device_put(batch, self._sharding)
+                    # multi-host safe: host data -> global mesh arrays
+                    from diffab_pytorch_tpu.parallel.mesh import put_global
+
+                    batch = put_global(batch, self._sharding)
                 else:
                     batch = jax.device_put(batch)
                 self._q.put((batch, info))

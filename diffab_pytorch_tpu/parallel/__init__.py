@@ -4,6 +4,7 @@ from diffab_pytorch_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     param_sharding,
+    put_global,
     replicated,
 )
 from diffab_pytorch_tpu.parallel.dp import (

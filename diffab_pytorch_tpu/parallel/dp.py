@@ -15,7 +15,10 @@ mechanisms, by design:
     over dp; each device works on its batch shard with a distinct key fold.
 
 Both compose with multi-host pods: the same code runs under
-jax.distributed.initialize() with a global mesh.
+jax.distributed.initialize() with a global mesh — measured by
+tests/test_multihost.py (two processes, global 8-device mesh, losses
+equal to the single-process run; host data enters through
+mesh.put_global).
 """
 
 from __future__ import annotations
@@ -30,7 +33,9 @@ from jax import shard_map
 
 from diffab_pytorch_tpu.data.batch import ProteinBatch
 from diffab_pytorch_tpu.models import DiffAbModel
-from diffab_pytorch_tpu.parallel.mesh import DP_AXIS, batch_sharding, param_sharding, replicated
+from diffab_pytorch_tpu.parallel.mesh import (
+    DP_AXIS, batch_sharding, param_sharding, put_global, replicated,
+)
 from diffab_pytorch_tpu.train.harness import DiffAb, TrainState
 
 
@@ -99,10 +104,11 @@ def make_dp_train_step(harness: DiffAb, mesh: Mesh, donate: bool = True):
 
     def step(state, batch, key):
         # accept any input placement: replicate state/key onto the mesh and
-        # shard the batch (no-ops when already placed correctly)
-        state = jax.device_put(state, rep)
-        batch = jax.device_put(batch, bsh)
-        key = jax.device_put(key, rep)
+        # shard the batch (no-ops when already placed correctly; multi-host
+        # safe — see put_global)
+        state = put_global(state, rep)
+        batch = put_global(batch, bsh)
+        key = put_global(key, rep)
         return jitted(state, batch, key)
 
     return step
@@ -126,7 +132,7 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place a TrainState on the mesh: params (and matching opt-state
     leaves) tp-sharded per `param_sharding`, rest replicated."""
     p_shard = param_sharding(state.params, mesh)
-    params = jax.device_put(state.params, p_shard)
+    params = put_global(state.params, p_shard)
 
     # Adam moments inside optax state mirror the param tree EXACTLY, so the
     # param shardings transfer by tree alignment: any opt-state subtree
@@ -142,20 +148,19 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     def place_opt(opt_state):
         def place(sub):
             if is_param_shaped(sub):
-                return jax.tree.map(jax.device_put, sub, p_shard)
+                return put_global(sub, p_shard)
             if hasattr(sub, "shape"):
-                return jax.device_put(sub, rep)
+                return put_global(sub, rep)
             return sub
 
         return jax.tree.map(place, opt_state, is_leaf=is_param_shaped)
 
     return TrainState(
-        step=jax.device_put(state.step, replicated(mesh)),
+        step=put_global(state.step, replicated(mesh)),
         params=params,
         opt_state=place_opt(state.opt_state),
         ema_params=(None if state.ema_params is None
-                    else jax.tree.map(jax.device_put,
-                                      state.ema_params, p_shard)),
+                    else put_global(state.ema_params, p_shard)),
     )
 
 
@@ -215,9 +220,9 @@ def sample_sharded(
         out_specs=_sample_out_specs(sample_kwargs.get("return_trajectory", False)),
         check_vma=False,
     )
-    params = jax.device_put(params, replicated(mesh))
-    batch = jax.device_put(batch, batch_sharding(mesh))
-    key = jax.device_put(key, replicated(mesh))
+    params = put_global(params, replicated(mesh))
+    batch = put_global(batch, batch_sharding(mesh))
+    key = put_global(key, replicated(mesh))
     return jax.jit(mapped)(params, batch, key)
 
 
@@ -260,9 +265,9 @@ def sample_fanout_sharded(
         check_vma=False,
     )
     rep = replicated(mesh)
-    params = jax.device_put(params, rep)
-    batch = jax.device_put(batch, rep)
-    key = jax.device_put(key, rep)
+    params = put_global(params, rep)
+    batch = put_global(batch, rep)
+    key = put_global(key, rep)
     return jax.jit(mapped)(params, batch, key)
 
 
@@ -313,10 +318,10 @@ def score_fanout_sharded(
         check_vma=False,
     )
     rep = replicated(mesh)
-    params = jax.device_put(params, rep)
-    batch = jax.device_put(batch, rep)
-    key = jax.device_put(key, rep)
-    designs = jax.device_put(designs, batch_sharding(mesh))
+    params = put_global(params, rep)
+    batch = put_global(batch, rep)
+    key = put_global(key, rep)
+    designs = put_global(designs, batch_sharding(mesh))
     return jax.jit(mapped)(params, batch, designs, key)
 
 

@@ -37,6 +37,41 @@ def make_mesh(
     return Mesh(grid, (DP_AXIS, TP_AXIS))
 
 
+def put_global(tree, sharding):
+    """Place a pytree onto a (possibly multi-process) mesh sharding.
+
+    On one process this is plain `jax.device_put`.  On a multi-host mesh a
+    committed single-device jax.Array cannot be device_put onto a global
+    sharding (that would need cross-host transfers); the supported pattern
+    is to build global arrays from process-local HOST data, every process
+    holding the same full-size value — which is exactly how our callers
+    construct states/batches (deterministic init, same data each host).
+    Leaves already on the target sharding pass through untouched, so
+    steady-state training (state circulating through the jitted step)
+    pays no host round-trip after the first call.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def put(x, s):
+        if isinstance(x, jax.Array) and x.sharding == s:
+            return x
+        if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key
+        ):
+            # typed PRNG keys have no numpy form: go through the raw
+            # uint32 key data (replicated, so the spec carries over)
+            data = np.asarray(jax.random.key_data(x))
+            g = jax.make_array_from_process_local_data(s, data, data.shape)
+            return jax.random.wrap_key_data(g, impl=jax.random.key_impl(x))
+        x = np.asarray(x)  # requires fully-addressable input: host data
+        return jax.make_array_from_process_local_data(s, x, x.shape)
+
+    if isinstance(sharding, NamedSharding):
+        return jax.tree.map(lambda x: put(x, sharding), tree)
+    return jax.tree.map(put, tree, sharding)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis of every leaf over dp, replicate over tp."""
     return NamedSharding(mesh, P(DP_AXIS))

@@ -122,7 +122,11 @@ def fit(
             batch_size=cfg.batch_size, shuffle=False, epochs=1, drop_last=False
         ):
             key, k = jax.random.split(key)
-            ms.append(eval_fn(params, jax.device_put(vb, sharding), k))
+            if sharding is not None:
+                from diffab_pytorch_tpu.parallel.mesh import put_global
+
+                vb = put_global(vb, sharding)
+            ms.append(eval_fn(params, vb, k))
         if ms:
             agg = {
                 k2: float(np.mean([float(m[k2]) for m in ms])) for k2 in ms[0]

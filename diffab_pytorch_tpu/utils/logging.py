@@ -36,7 +36,12 @@ class MetricLogger:
         self._file = file
         self._t0 = time.time()
         self._wandb = None
-        if use_wandb:
+        # Multi-host: every process runs the training loop (control flow
+        # must stay identical for collective ops), but only process 0
+        # owns the sinks — otherwise a pod prints/writes N copies of
+        # every line (tests/test_multihost.py).
+        self._primary = jax.process_index() == 0
+        if use_wandb and self._primary:
             try:
                 import wandb  # type: ignore
 
@@ -47,6 +52,8 @@ class MetricLogger:
                       file=file)
 
     def log(self, step: int, metrics: Dict[str, jax.Array | float]) -> None:
+        if not self._primary:
+            return
         scalars = {
             k: float(v) if not isinstance(v, float) else v
             for k, v in metrics.items()
