@@ -85,6 +85,20 @@ class ModelConfig:
     # f32 biases out of the scan).  Ignored under remat_ipa, where the
     # bias belongs inside each layer's checkpointed region.
     fuse_pair_bias: bool = True
+    # Pair-table lookups (aa_pair_embedding, pair2distcoef,
+    # relpos_embedding) as one-hot MXU contractions instead of
+    # gather/scatter (round 4).  The r4 trace of the production train step
+    # (runs/profile_r4/train_top_ops.json) put 61% of DEVICE time in these
+    # tables' ops: the backward scatter-adds of 524k (b L^2) index rows
+    # into the tiny (441, d)/(65, d) tables cost 3.6-4.0 ms EACH and the
+    # forward gathers 0.9 ms each, while the equivalent one-hot matmuls
+    # are bandwidth-trivial (the 21^2 tables factor through two (.., 21)
+    # contractions, so no (b, L, L, 441) one-hot is ever materialized;
+    # relpos materializes its (b, L, L, 65) one-hot once).  Numerically
+    # EXACT (a one-hot row selects a single table row; products by 1.0
+    # and sums over zeros are exact in every dtype) — transplant goldens
+    # unchanged.  Param tree unchanged.  OFF path kept for A/B.
+    onehot_pair_tables: bool = True
     # Rematerialize IPA layers in the backward pass (jax.checkpoint):
     # trades ~1 extra forward for not storing per-layer activations —
     # enables much larger training batches (HBM is the binding constraint

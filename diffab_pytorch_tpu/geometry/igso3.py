@@ -145,6 +145,44 @@ def build_igso3_table(
     )
 
 
+def _quantile_pair_select(
+    inv_rows: jax.Array, i0: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """(inv_rows[..., i0], inv_rows[..., i0 + 1]) per sample, via two-level
+    one-hot contractions instead of element gathers.
+
+    inv_rows: (S, n_q); i0: (S, M) int32 in [0, n_q - 2].  Returns two
+    (S, M) arrays.  TPU has no hardware gather — the r4 trace of the
+    reverse scan showed each 16k-element take_along_axis over the
+    (128, 8193) inverse-CDF costing 166 us (two of them = 11% of the whole
+    scan, runs/profile_r4/sample_top_ops.json), while the equivalent
+    one-hot matmuls are microseconds of MXU time.  The index factors as
+    i = hi * W2 + lo: level 1 selects the hi-block of W2 consecutive
+    quantiles with a (M, W1) one-hot batched matmul; level 2 selects
+    within the block with an elementwise one-hot reduce.  The shifted
+    (t1) values reuse the SAME one-hots against the rows shifted by one
+    quantile — selection by 1.0-products is exact in f32."""
+    S, n_q = inv_rows.shape
+    M = i0.shape[-1]
+    n = n_q - 1  # valid i0 range [0, n-1]; i0+1 reaches n
+    W1 = 128 if n >= 128 else n
+    W2 = -(-n // W1)  # ceil
+    pad = W1 * W2 - n
+    base = inv_rows[:, :-1]  # theta at quantiles 0..n-1
+    shift = inv_rows[:, 1:]  # theta at quantiles 1..n
+    if pad:
+        base = jnp.pad(base, ((0, 0), (0, pad)), mode="edge")
+        shift = jnp.pad(shift, ((0, 0), (0, pad)), mode="edge")
+    base = base.reshape(S, W1, W2)
+    shift = shift.reshape(S, W1, W2)
+    dtype = inv_rows.dtype
+    oh_hi = jax.nn.one_hot(i0 // W2, W1, dtype=dtype)  # (S, M, W1)
+    oh_lo = jax.nn.one_hot(i0 % W2, W2, dtype=dtype)  # (S, M, W2)
+    blk0 = jnp.einsum("smh,shw->smw", oh_hi, base)
+    blk1 = jnp.einsum("smh,shw->smw", oh_hi, shift)
+    return (blk0 * oh_lo).sum(-1), (blk1 * oh_lo).sum(-1)
+
+
 def sample_angle(
     key: jax.Array,
     table: IGSO3Table,
@@ -162,20 +200,19 @@ def sample_angle(
     out_shape = tuple(sigma_idx.shape) + tuple(sample_shape)
 
     # --- histogram branch: piecewise-linear inverse-CDF lookup ---
-    # (distributionally equivalent to bin-by-mass + uniform jitter; one
-    # gather + lerp, no on-device binary search).  Rows keep singleton
-    # sample dims; take_along_axis broadcasts without materializing.
+    # (distributionally equivalent to bin-by-mass + uniform jitter).  The
+    # per-sample quantile reads are one-hot contractions, not gathers —
+    # see _quantile_pair_select.
     n_q = table.inv_cdf.shape[-1]
-    inv_rows = table.inv_cdf[sigma_idx].reshape(
-        tuple(sigma_idx.shape) + (1,) * len(sample_shape) + (n_q,)
-    )
+    inv_rows = table.inv_cdf[sigma_idx.reshape(-1)]  # (S, n_q) row gather
     u = jax.random.uniform(k_bin, out_shape, dtype=table.inv_cdf.dtype)
     pos = u * (n_q - 1)
     i0 = jnp.floor(pos).astype(jnp.int32)
     i0 = jnp.clip(i0, 0, n_q - 2)
     frac = pos - i0.astype(pos.dtype)
-    t0 = jnp.take_along_axis(inv_rows, i0[..., None], axis=-1)[..., 0]
-    t1 = jnp.take_along_axis(inv_rows, (i0 + 1)[..., None], axis=-1)[..., 0]
+    m = int(np.prod(sample_shape)) if sample_shape else 1
+    t0, t1 = _quantile_pair_select(inv_rows, i0.reshape(len(inv_rows), m))
+    t0, t1 = t0.reshape(out_shape), t1.reshape(out_shape)
     theta_hist = t0 * (1.0 - frac) + t1 * frac
 
     # --- Gaussian branch: N(2 sigma, sigma^2) folded into [0, pi) ---
@@ -226,15 +263,15 @@ def sample_angle_continuous(
     u = jax.random.uniform(k_bin, out_shape, dtype=table.inv_cdf.dtype)
     pos = u * (n_q - 1)
     i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_q - 2)
-    frac = (pos - i0.astype(pos.dtype))[..., None]
+    frac = pos - i0.astype(pos.dtype)
+    m = int(np.prod(sample_shape)) if sample_shape else 1
+    i0_flat = i0.reshape(-1, m)
 
     def row_theta(idx):
-        rows = table.inv_cdf[idx].reshape(
-            tuple(sigma.shape) + (1,) * len(sample_shape) + (n_q,)
-        )
-        t0 = jnp.take_along_axis(rows, i0[..., None], axis=-1)
-        t1 = jnp.take_along_axis(rows, (i0 + 1)[..., None], axis=-1)
-        return (t0 * (1.0 - frac) + t1 * frac)[..., 0]
+        rows = table.inv_cdf[idx.reshape(-1)]  # (S, n_q) row gather
+        t0, t1 = _quantile_pair_select(rows, i0_flat)
+        t0, t1 = t0.reshape(out_shape), t1.reshape(out_shape)
+        return t0 * (1.0 - frac) + t1 * frac
 
     theta_hist = (1.0 - w) * row_theta(lo) + w * row_theta(hi)
 

@@ -20,9 +20,13 @@ divergences from the reference, each fixing a documented quirk
     an already-consumed temporary instead — dead code, §2.9#9).
   * vocabulary is uniformly 21 (§2.9#8).
 
-Embedding tables are implemented as one-hot matmuls where the index set is
-tiny (chain id) and as gathers where it is large (21^2 pair types) — both
-compile to efficient XLA on TPU.
+Pair-rank embedding tables (21^2 pair types, relative position) are
+one-hot MXU contractions by default (ModelConfig.onehot_pair_tables): the
+r4 trace showed their gathers and especially their backward SCATTERS
+dominating the train step (61% of device time) while the one-hot matmuls
+are bandwidth-trivial and numerically exact.  Per-residue tables (chain
+id, aa type) stay gathers/one-hots as before — they are (b, L)-rank and
+invisible in the profile.
 """
 
 from __future__ import annotations
@@ -246,9 +250,38 @@ class PairEmbedding(nn.Module):
         seq_idx = _mask_sequence_to_unk(seq_idx, sequence_context_mask)
         seq_pair = seq_idx[:, :, None] * vocab + seq_idx[:, None, :]  # (b, L, L)
 
+        # Pair-table lookups.  With cfg.onehot_pair_tables (the TPU
+        # default) every (b, L, L)-indexed table read is an MXU matmul
+        # against a one-hot operand instead of a gather — the r4 trace
+        # showed the train step spending 61% of device time in these
+        # gathers and (worse) their backward scatter-adds into the tiny
+        # tables (runs/profile_r4/train_top_ops.json; config.py knob
+        # comment).  For the vocab^2 tables the pair one-hot FACTORS:
+        #   feat[b,i,j,:] = E[s_i, s_j, :]
+        #                 = sum_{u,v} oh[b,i,u] oh[b,j,v] E[u,v,:]
+        # computed as two (..., vocab)-contractions, so nothing
+        # 441-wide is ever materialized.  Exact: one-hot rows select
+        # single table rows (products by 1.0, sums over zeros).
+        b_, L_ = seq_idx.shape
+        oh_seq = (
+            jax.nn.one_hot(seq_idx, vocab, dtype=dt)
+            if cfg.onehot_pair_tables else None
+        )
+
+        def pair_table_lookup(embed_mod, width):
+            if oh_seq is None:
+                return embed_mod(seq_pair)
+            table = embed_mod(jnp.arange(vocab * vocab)).reshape(
+                vocab, vocab, width
+            )  # iota gather = the table itself (XLA folds it)
+            # tmp[b, u, j, w] = sum_v oh[b, j, v] E[u, v, w]
+            tmp = jnp.einsum("bjv,uvw->bujw", oh_seq, table)
+            # feat[b, i, j, w] = sum_u oh[b, i, u] tmp[b, u, j, w]
+            return jnp.einsum("biu,bujw->bijw", oh_seq, tmp)
+
         # (a) pair-type embedding
-        pair_feat = nn.Embed(vocab * vocab, d, dtype=dt, name="aa_pair_embedding")(
-            seq_pair
+        pair_feat = pair_table_lookup(
+            nn.Embed(vocab * vocab, d, dtype=dt, name="aa_pair_embedding"), d
         )
 
         # (b) relative position, clamped to +/- max_dist, gated to same-chain
@@ -257,9 +290,17 @@ class PairEmbedding(nn.Module):
         relpos = jnp.clip(
             residue_idx[:, :, None] - residue_idx[:, None, :], -mdist, mdist
         )
-        relpos_feat = nn.Embed(2 * mdist + 1, d, dtype=dt, name="relpos_embedding")(
-            relpos + mdist
+        relpos_embed = nn.Embed(
+            2 * mdist + 1, d, dtype=dt, name="relpos_embedding"
         )
+        if cfg.onehot_pair_tables:
+            # no factorization across (i, j) here — materialize the
+            # (b, L, L, 2 mdist + 1) one-hot; two matmul-reads of it beat
+            # the 4 ms backward scatter by ~10x (config.py knob comment)
+            oh_rel = jax.nn.one_hot(relpos + mdist, 2 * mdist + 1, dtype=dt)
+            relpos_feat = oh_rel @ relpos_embed(jnp.arange(2 * mdist + 1))
+        else:
+            relpos_feat = relpos_embed(relpos + mdist)
         same_chain = (chain_idx[:, :, None] == chain_idx[:, None, :]) & (
             chain_idx > 0
         )[:, :, None]
@@ -272,13 +313,16 @@ class PairEmbedding(nn.Module):
         # the train-side HBM lever, measured in DESIGN.md §3.
         k_at = cfg.dist_atoms or A
         d_xyz, d_amask = xyz[:, :, :k_at], atom_mask[:, :, :k_at]
-        coef = nn.Embed(
-            vocab * vocab,
+        coef = pair_table_lookup(
+            nn.Embed(
+                vocab * vocab,
+                k_at * k_at,
+                embedding_init=nn.initializers.zeros,
+                dtype=dt,
+                name="pair2distcoef",
+            ),
             k_at * k_at,
-            embedding_init=nn.initializers.zeros,
-            dtype=dt,
-            name="pair2distcoef",
-        )(seq_pair)
+        )
         coef = jax.nn.softplus(coef)  # (b, L, L, k*k)
         d2 = pairwise_sq_distances(d_xyz, dtype=dt).reshape(
             *seq_pair.shape, k_at * k_at

@@ -125,6 +125,65 @@ def anchor_chord_frames(
     return jnp.where((gm & has)[..., None, None], chord, r), gm & has
 
 
+def timestep_schedule(
+    t_start: int,
+    n_steps: int | None,
+    step_schedule: str = "uniform",
+    step_schedule_p: float = 0.5,
+    n_fine_tail: int | None = None,
+) -> np.ndarray:
+    """Descending t-subsequence for the reverse scan (host-side, static).
+
+    Returns a strictly-decreasing int array ending at 1; each scan step
+    jumps t -> next element (or 0 from the last).  Schedules:
+
+      full        n_steps None or >= t_start: t_start, t_start-1, ..., 1.
+      uniform     strided subsequence t_start..1, n_steps long.
+      hight       dense at high t: t(u) = 1 + (t_start-1)(1-u)^p — small
+                  early jumps through the stiff transport region.
+      fine tail   (n_fine_tail=k, composes with uniform): the final k
+                  timesteps k..1 run at STRIDE 1 and the remaining
+                  n_steps-k budget strides uniformly over [k+1, t_start].
+                  Rationale (round 4, the fast-stochastic attack): every
+                  measured stochastic few-step composition loses because
+                  posterior noise is injected and the next RESPACED JUMP
+                  amplifies it together with the eps_hat bias (DESIGN.md
+                  round-3 scatter study), while the quality-holding
+                  full-length ns=1+noise_t_max recipe takes its noisy
+                  steps at stride 1.  A stride-1 tail with
+                  noise_t_max <= k reproduces that recipe's noisy low-t
+                  segment EXACTLY — same per-step posteriors, same
+                  contraction between noise injections — at few-step
+                  total cost; the noiseless coarse strides above carry
+                  only the already-solved deterministic transport.
+    """
+    t_start = int(t_start)
+    if n_steps is None or n_steps >= t_start:
+        return np.arange(t_start, 0, -1)
+    if step_schedule == "hight":
+        u = np.linspace(0.0, 1.0, n_steps)
+        return np.unique(
+            np.round(
+                1.0 + (t_start - 1.0) * (1.0 - u) ** float(step_schedule_p)
+            ).astype(np.int64)
+        )[::-1]
+    if n_fine_tail:
+        k = int(n_fine_tail)
+        if k >= n_steps:
+            raise ValueError(
+                f"n_fine_tail ({k}) must be < n_steps ({n_steps})"
+            )
+        if k >= t_start:  # tail covers everything: plain full chain
+            return np.arange(t_start, 0, -1)
+        coarse = np.unique(
+            np.round(np.linspace(t_start, k + 1, n_steps - k)).astype(np.int64)
+        )[::-1]
+        return np.concatenate([coarse, np.arange(k, 0, -1)])
+    return np.unique(
+        np.round(np.linspace(t_start, 1, n_steps)).astype(np.int64)
+    )[::-1]
+
+
 @flax.struct.dataclass
 class SampleResult:
     """Designed sequence + backbone for every residue (context residues keep
@@ -163,6 +222,7 @@ def sample(
     noise_t_max: int | None = None,
     step_schedule: str = "uniform",
     step_schedule_p: float = 0.5,
+    n_fine_tail: int | None = None,
     coord_solver: str = "none",
     coord_solver_t_min: int = 0,
     init: str = "prior",
@@ -250,6 +310,18 @@ def sample(
                          scatter 0.250 -> 0.188 and AAR -> 1.000 on the
                          25-step chain, at a median cost 0.32 -> 0.82 A —
                          p trades the two.
+    n_fine_tail:         few-step chains only (uniform schedule): run the
+                         final k timesteps k..1 at STRIDE 1, striding the
+                         remaining n_steps-k budget over [k+1, t_start].
+                         With noise_t_max <= k this reproduces the
+                         full-length deferred-noise recipe's noisy low-t
+                         segment exactly (stride-1 posterior steps — the
+                         regime where injected noise is re-contracted
+                         before the next step) while the noiseless coarse
+                         strides above carry only deterministic transport;
+                         see timestep_schedule.  The round-4 fast
+                         STOCHASTIC recipe: init="chord" + n_fine_tail=k
+                         + noise_t_max=k.
     coord_solver:        higher-order coordinate solver for few-step
                          chains ("none" default).  Respaced-chain scatter
                          is driven by the JUMP SIZE amplifying eps_hat
@@ -576,22 +648,11 @@ def sample(
         raise ValueError(
             f"step_schedule must be 'uniform' or 'hight', got {step_schedule!r}"
         )
-    if n_steps is None or n_steps >= t_start:
-        t_seq = np.arange(t_start, 0, -1)
-    elif step_schedule == "hight":
-        # dense at high t (small early jumps through the stiff transport
-        # region), sparse at low t: t(u) = 1 + (t_start-1)(1-u)^p
-        u = np.linspace(0.0, 1.0, n_steps)
-        t_seq = np.unique(
-            np.round(
-                1.0 + (t_start - 1.0) * (1.0 - u) ** float(step_schedule_p)
-            ).astype(np.int64)
-        )[::-1]
-    else:
-        # strided subsequence t_start..1, n_steps long, always ending at 1
-        t_seq = np.unique(
-            np.round(np.linspace(t_start, 1, n_steps)).astype(np.int64)
-        )[::-1]
+    if n_fine_tail is not None and step_schedule != "uniform":
+        raise ValueError("n_fine_tail composes only with step_schedule='uniform'")
+    t_seq = timestep_schedule(
+        t_start, n_steps, step_schedule, step_schedule_p, n_fine_tail
+    )
     s_seq = np.append(t_seq[1:], 0)  # each step jumps to the next t (or 0)
     extras0 = {}
     if sc_on:

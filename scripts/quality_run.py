@@ -146,6 +146,12 @@ def parse_args(argv=None):
                         "corpora).  For replicate runs whose purpose is the "
                         "trained checkpoint (e.g. probe targets) — the "
                         "untrained floor is already recorded by siblings.")
+    p.add_argument("--train-only", action="store_true",
+                   help="Stop after saving the trained checkpoint (implies "
+                        "--skip-untrained; no sampling eval).  For probe-"
+                        "target replicate runs (scatter/diversity probes "
+                        "restore the checkpoint and run their own "
+                        "sampling) — cuts ~2/3 of the wall per replicate.")
     p.add_argument("--resume", action="store_true",
                    help="Restore the latest {workdir}/checkpoints state and "
                         "continue training from its step (same shuffled "
@@ -473,7 +479,7 @@ def main(argv=None) -> int:
         if "untrained" in prev:
             results = {"untrained": prev["untrained"]}
             log("resume: reloaded untrained-model eval from quality.json")
-    if results is None and args.skip_untrained:
+    if results is None and (args.skip_untrained or args.train_only):
         results = {"untrained": {}}
         log("skipping untrained-model eval (--skip-untrained)")
     if results is None:
@@ -551,9 +557,10 @@ def main(argv=None) -> int:
     save_model_config(ckpt_dir, cfg.model)
     log(f"checkpoint saved to {ckpt_dir} @ step {int(state.step)}")
 
-    log("evaluating TRAINED model on both val splits")
-    eval_p = state.params if state.ema_params is None else state.ema_params
-    results["trained"] = eval_params(eval_p, "trained")
+    if not args.train_only:
+        log("evaluating TRAINED model on both val splits")
+        eval_p = state.params if state.ema_params is None else state.ema_params
+        results["trained"] = eval_params(eval_p, "trained")
 
     results["meta"] = {
         "corpus": "compositional",

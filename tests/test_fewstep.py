@@ -282,6 +282,67 @@ class TestCoordReverseModes:
         assert jumps[:3].mean() < jumps[-3:].mean()
 
 
+class TestFineTail:
+    """Fine-tail schedule (sample(n_fine_tail=k)) — the round-4 fast
+    STOCHASTIC mechanism: the final k timesteps run at stride 1 so
+    noise_t_max <= k injects noise only between single-step posterior
+    contractions (the full-length deferred-noise regime), never before a
+    respaced jump (the measured scatter amplifier, DESIGN.md round-3)."""
+
+    def test_fine_tail_schedule_structure(self):
+        from diffab_pytorch_tpu.sampling.sampler import timestep_schedule
+
+        t_seq = timestep_schedule(60, 22, n_fine_tail=12)
+        assert t_seq[0] == 60 and t_seq[-1] == 1
+        assert np.all(-np.diff(t_seq) > 0)  # strictly descending
+        assert len(t_seq) <= 22
+        # the tail is EXACTLY 12, 11, ..., 1 at stride 1
+        np.testing.assert_array_equal(t_seq[-12:], np.arange(12, 0, -1))
+        # every coarse element sits strictly above the tail
+        assert t_seq[:-12].min() > 12
+        # degenerate cases
+        np.testing.assert_array_equal(
+            timestep_schedule(10, 20, n_fine_tail=5), np.arange(10, 0, -1)
+        )  # n_steps >= t_start: full chain
+        np.testing.assert_array_equal(
+            timestep_schedule(8, 12, n_fine_tail=9), np.arange(8, 0, -1)
+        )  # tail covers everything
+
+    def test_fine_tail_noisy_steps_are_single_step(self):
+        """With noise_t_max = k = n_fine_tail, every step that can inject
+        noise is a (t, t-1) SINGLE step — the structural property the
+        recipe rests on."""
+        from diffab_pytorch_tpu.sampling.sampler import timestep_schedule
+
+        k = 12
+        t_seq = timestep_schedule(60, 22, n_fine_tail=k)
+        s_seq = np.append(t_seq[1:], 0)
+        noisy = t_seq <= k
+        np.testing.assert_array_equal(s_seq[noisy], t_seq[noisy] - 1)
+
+    def test_fine_tail_chain_runs_and_clamps_context(self, harness, batch,
+                                                     state):
+        res = harness.sample(
+            state.params, batch, jax.random.key(13), n_steps=8,
+            n_fine_tail=4, noise_t_max=4, noise_scale=1.0,
+            init="chord", t_start=20,
+        )
+        assert bool(jnp.all(jnp.isfinite(res.translations)))
+        ctx = ~(batch.generation_mask & batch.residue_mask)
+        np.testing.assert_array_equal(
+            np.asarray(res.translations)[np.asarray(ctx)],
+            np.asarray(batch.translations)[np.asarray(ctx)],
+        )
+
+    def test_fine_tail_validation(self, harness, batch, state):
+        with pytest.raises(ValueError, match="n_fine_tail"):
+            harness.sample(state.params, batch, jax.random.key(0),
+                           n_steps=8, n_fine_tail=8)
+        with pytest.raises(ValueError, match="n_fine_tail"):
+            harness.sample(state.params, batch, jax.random.key(0),
+                           n_steps=8, n_fine_tail=2, step_schedule="hight")
+
+
 class TestCoordSolvers:
     """Higher-order coordinate solvers (sample(coord_solver=...)) — the
     few-step scatter countermeasure: respaced-jump scatter is driven by

@@ -456,6 +456,55 @@ def test_fuse_pair_bias_equivalence(batch):
         )
 
 
+def test_onehot_pair_tables_equivalence(batch):
+    """onehot_pair_tables (config.py, round 4): pair-table lookups as
+    one-hot MXU contractions are BIT-equal to the gather path in forward,
+    and the parameter gradients agree — the flag only changes how the
+    table reads/gradient-accumulations are scheduled (matmuls vs
+    gather/scatter, the 61%-of-device-time finding in
+    runs/profile_r4/train_top_ops.json)."""
+    import dataclasses
+
+    model = DiffAbModel(dataclasses.replace(CFG, onehot_pair_tables=True))
+    model_g = DiffAbModel(dataclasses.replace(CFG, onehot_pair_tables=False))
+    beta = jnp.array([0.01, 0.4])
+    params = model.init(
+        jax.random.key(33), batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta,
+    )
+    assert jax.tree.structure(params) == jax.tree.structure(
+        model_g.init(
+            jax.random.key(33), batch, batch.seq_idx, batch.translations,
+            batch.orientations, beta,
+        )
+    )
+    # randomize the zero-init dist-coef table so its lookup is exercised
+    pe = params["params"]["pair_context_embedding"]
+    pe["pair2distcoef"]["embedding"] = 0.3 * jax.random.normal(
+        jax.random.key(34), pe["pair2distcoef"]["embedding"].shape
+    )
+
+    def loss(m, p):
+        out = m.apply(
+            p, batch, batch.seq_idx, batch.translations,
+            batch.orientations, beta,
+        )
+        return (
+            jnp.sum(out["translations_eps"] ** 2)
+            + jnp.sum(out["seq_posterior"] ** 2)
+        )
+
+    np.testing.assert_array_equal(
+        np.asarray(loss(model, params)), np.asarray(loss(model_g, params))
+    )
+    g = jax.grad(lambda p: loss(model, p))(params)
+    g_g = jax.grad(lambda p: loss(model_g, p))(params)
+    for a, b_ in zip(jax.tree.leaves(g), jax.tree.leaves(g_g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-5
+        )
+
+
 def test_denoiser_se3_equivariance(batch):
     """Under a global rotation Q of the whole system (row convention:
     x' = x @ Q, O' = O @ Q), the full model's heads must transform as
