@@ -181,6 +181,23 @@ _SLOT_POSITIONS = [
     (88, 89, 90), (91, 92, 93), (103, 104, 105), (106, 107, 108),
 ]
 
+# Decoupled-shape variant (round 4): a SECOND, independent barcode whose
+# slots drive the loop CONFORMATIONS while the original slots drive only
+# the SEQUENCES.  On the default (tied) corpus, loop shape is a linear
+# function of the same slots as sequence, so a self-conditioned model can
+# read the slot values off its own conditioned geometry instead of the
+# framework barcode — the hypothesized mechanism behind the multi-loop
+# sc/AAR saturation at ~0.90 (QUALITY.md round-3 schedule matrix; r3
+# VERDICT weak #4 asked for exactly this attribution experiment).  With
+# decouple_shape, conditioned geometry carries ZERO information about the
+# sequence rule, so if the saturation is a corpus artifact it must vanish.
+# Shape slots sit in their own framework positions (57-68, flanking the
+# H2 anchor — inside every multi-CDR patch) so conformation stays
+# predictable from visible context.
+_SHAPE_SLOT_POSITIONS = [
+    (57, 58, 59), (60, 61, 62), (63, 64, 65), (66, 67, 68),
+]
+
 # Multi-CDR extension (round 2): the same 4 slots can drive H1 and H2 as
 # well, for JOINT compositional design across three loops (Chothia heavy
 # ranges, constants.CHOTHIA_CDR_RANGES).  Each loop has its own sequence
@@ -261,6 +278,7 @@ def _heavy_sequence_combo(
     resnums: list[int], combo: tuple[int, ...],
     cdr_loops: tuple[str, ...] = ("H3",),
     loop_choices: dict[str, list[int]] | None = None,
+    shape_combo: tuple[int, ...] | None = None,
 ) -> list[str]:
     seq = []
     loop_of_pos = {
@@ -274,6 +292,15 @@ def _heavy_sequence_combo(
         for j, positions in enumerate(_SLOT_POSITIONS)
         for i, p in enumerate(positions)
     }
+    shape_slot_of_pos = (
+        {}
+        if shape_combo is None
+        else {
+            p: (j, i)
+            for j, positions in enumerate(_SHAPE_SLOT_POSITIONS)
+            for i, p in enumerate(positions)
+        }
+    )
     for r in resnums:
         if r in loop_of_pos:
             loop, k = loop_of_pos[r]
@@ -282,6 +309,10 @@ def _heavy_sequence_combo(
         elif r in slot_of_pos:
             j, i = slot_of_pos[r]
             seq.append(_aa(combo[j] * 7 + 5 + 4 * i + j))  # slot-value code
+        elif r in shape_slot_of_pos:
+            j, i = shape_slot_of_pos[r]
+            # shape-slot value code (distinct offset from the seq slots)
+            seq.append(_aa(shape_combo[j] * 7 + 2 + 4 * i + 3 * j))
         else:
             seq.append(_aa(3 * r))  # shared framework
     return seq
@@ -318,13 +349,17 @@ def make_combo_pdb(
     jitter: float = 0.1,
     cdr_loops: tuple[str, ...] = ("H3",),
     seq_degeneracy: int = 1,
+    shape_combo: tuple[int, ...] | None = None,
 ) -> str:
     """One synthetic complex for the given slot-value combination.  With
     cdr_loops beyond H3, the listed loops' sequences AND conformations are
     slot-driven too (joint multi-CDR compositional design).
     seq_degeneracy > 1 draws each loop position's residue uniformly among
     its d valid options (loop_motif_index_options); the default 1 consumes
-    no extra randomness, so existing corpora reproduce byte-for-byte."""
+    no extra randomness, so existing corpora reproduce byte-for-byte.
+    shape_combo (round 4): drive the loop CONFORMATIONS from this second
+    barcode (expressed at _SHAPE_SLOT_POSITIONS) instead of `combo` — the
+    decoupled-shape variant; None keeps the tied corpus byte-for-byte."""
     if not 1 <= seq_degeneracy <= 4:
         raise ValueError("seq_degeneracy must be in [1, 4] (option shifts "
                          "stay distinct mod 20)")
@@ -347,7 +382,7 @@ def make_combo_pdb(
         perp=np.array([0.0, 0.0, 1.0]), rng=rng,
         sequence=_heavy_sequence_combo(
             list(range(1, heavy_len + 1)), combo, tuple(cdr_loops),
-            loop_choices=loop_choices,
+            loop_choices=loop_choices, shape_combo=shape_combo,
         ),
     )
     l_res, _ = _chain_residues(
@@ -377,7 +412,8 @@ def make_combo_pdb(
         base, step = _LOOP_BUMP.get(loop, (bump_base, bump_step))
         phase = _LOOP_PHASE[loop]
         mix = np.zeros(3)
-        for j, v in enumerate(combo):
+        for j, v in enumerate(shape_combo if shape_combo is not None
+                              else combo):
             # directions form a 150-degree fan in the y-z plane (NOT a full
             # circle: with opposed directions, equal slot values would cancel
             # to a zero displacement and distinct combos would collapse onto
@@ -432,6 +468,7 @@ def write_combo_corpus(
     seed: int = 0,
     cdr_loops: tuple[str, ...] = ("H3",),
     seq_degeneracy: int = 1,
+    decouple_shape: bool = False,
     **pdb_kwargs,
 ) -> dict:
     """Write the compositional corpus + split manifest.
@@ -440,13 +477,25 @@ def write_combo_corpus(
     last n_val_instances of each are the held-out-INSTANCE split) and
     h{idx}_s{i}.pdb for held-out combos (i < n_val_instances — the
     held-out-COMBINATION split, never trained on).  Returns the manifest
-    (also saved as {out_dir}/combos.json)."""
+    (also saved as {out_dir}/combos.json).
+
+    decouple_shape (round 4): every instance draws an INDEPENDENT uniform
+    shape barcode that drives the loop conformations (expressed at its own
+    framework positions), so loop shape carries zero information about the
+    sequence rule — the attribution experiment for the multi-loop
+    sc/AAR saturation (see _SHAPE_SLOT_POSITIONS)."""
     import json
 
     pdb_dir = os.path.join(out_dir, "pdb")
     os.makedirs(pdb_dir, exist_ok=True)
     train, heldout = split_combos(
         n_values, n_train_combos, n_heldout_combos, seed=seed
+    )
+    shape_rng = np.random.default_rng(seed * 7 + 13)
+    draw_shape = (
+        (lambda: tuple(int(v) for v in
+                       shape_rng.integers(0, n_values, N_SLOTS)))
+        if decouple_shape else (lambda: None)
     )
     rows = ["pdb_id,Hchain,Lchain,antigen_chain"]
     for idx, combo in enumerate(train):
@@ -456,6 +505,7 @@ def write_combo_corpus(
                 fh.write(make_combo_pdb(combo, seed * 1_000 + i,
                                         cdr_loops=cdr_loops,
                                         seq_degeneracy=seq_degeneracy,
+                                        shape_combo=draw_shape(),
                                         **pdb_kwargs))
             rows.append(f"{pdb_id},H,L,A")
     for idx, combo in enumerate(heldout):
@@ -465,6 +515,7 @@ def write_combo_corpus(
                 fh.write(make_combo_pdb(combo, seed * 1_000 + 500 + i,
                                         cdr_loops=cdr_loops,
                                         seq_degeneracy=seq_degeneracy,
+                                        shape_combo=draw_shape(),
                                         **pdb_kwargs))
             rows.append(f"{pdb_id},H,L,A")
     with open(os.path.join(out_dir, "meta.csv"), "w") as fh:
@@ -474,6 +525,7 @@ def write_combo_corpus(
         "n_slots": N_SLOTS,
         "cdr_loops": list(cdr_loops),
         "seq_degeneracy": seq_degeneracy,
+        "decouple_shape": decouple_shape,
         "train_combos": [list(c) for c in train],
         "heldout_combos": [list(c) for c in heldout],
         "n_per_combo": n_per_combo,

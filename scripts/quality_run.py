@@ -121,6 +121,13 @@ def parse_args(argv=None):
                    help="Parameter-EMA decay (TrainConfig.ema_decay); "
                         "> 0 evaluates/saves the EMA weights (robust "
                         "default, QUALITY.md seed matrix).  0 disables")
+    p.add_argument("--decouple-shape", action="store_true",
+                   help="Corpus variant: loop conformations driven by an "
+                        "independent per-instance shape barcode (own "
+                        "framework positions) instead of the sequence "
+                        "slots — the round-4 attribution experiment for "
+                        "the multi-loop sc/AAR saturation "
+                        "(data/synthetic.py _SHAPE_SLOT_POSITIONS)")
     p.add_argument("--seq-degeneracy", type=int, default=1,
                    help="Valid residues per (loop position, slot value) "
                         "in the corpus (>1 makes diversity measurable — "
@@ -218,6 +225,7 @@ def main(argv=None) -> int:
             n_val_instances=args.val_instances, seed=args.seed,
             cdr_loops=loops,
             seq_degeneracy=args.seq_degeneracy,
+            decouple_shape=args.decouple_shape,
         )
         os.makedirs(npz_dir, exist_ok=True)
         for pdb_path in sorted(glob.glob(os.path.join(args.workdir, "pdb",
@@ -571,6 +579,7 @@ def main(argv=None) -> int:
         "val_patches": {k: len(v) for k, v in val_splits.items()},
         "designs_per_target": n_designs,
         "cdrs": args.cdrs,
+        "decouple_shape": args.decouple_shape,
         "steps": args.steps,
         "batch_size": args.bsz,
         "lr": args.lr,

@@ -23,5 +23,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent compilation cache (round 4, suite-wall-time work): the suite
+# is dominated by XLA:CPU compiles of the same programs run after run; a
+# repo-local cache makes repeat runs start warm.  Cold behavior is
+# unchanged (the cache only stores what was compiled anyway).
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert jax.device_count() == 8, "tests expect an 8-device virtual CPU mesh"

@@ -379,3 +379,124 @@ def test_seq_degeneracy_options_and_structure():
 
     with pytest.raises(ValueError, match="seq_degeneracy"):
         make_combo_pdb(combo, seed=0, seq_degeneracy=9)
+
+
+def test_decoupled_shape_corpus():
+    """Round-4 attribution corpus (data/synthetic.py shape_combo): loop
+    conformations ride ONLY on the shape barcode, sequences ONLY on the
+    sequence barcode, and the shape barcode is expressed in its own
+    framework positions — so conditioned geometry carries zero information
+    about the sequence rule."""
+    import numpy as np
+
+    from diffab_pytorch_tpu.data.synthetic import (
+        CDR_LOOP_RANGES, _SHAPE_SLOT_POSITIONS, make_combo_pdb,
+    )
+    from diffab_pytorch_tpu.structure.pdb import parse_pdb
+
+    loops = ("H1", "H2", "H3")
+    combo, combo2 = (1, 0, 3, 2), (2, 3, 0, 1)
+    lo, hi = CDR_LOOP_RANGES["H3"]
+
+    # default path byte-identical (existing corpora unaffected)
+    assert make_combo_pdb(combo, seed=7, cdr_loops=loops) == make_combo_pdb(
+        combo, seed=7, cdr_loops=loops, shape_combo=None
+    )
+
+    def h3_cas(text):
+        chains = parse_pdb(text)
+        return np.array([r.xyz[1] for r in chains["H"]
+                         if lo <= r.resseq <= hi])
+
+    def shape_slot_ids(text):
+        chains = parse_pdb(text)
+        pos = [p for tri in _SHAPE_SLOT_POSITIONS for p in tri]
+        return [r.aa_index for r in chains["H"] if r.resseq in pos]
+
+    def loop_ids(text):
+        chains = parse_pdb(text)
+        return [r.aa_index for r in chains["H"] if lo <= r.resseq <= hi]
+
+    # same seq combo + seed, different shape barcodes: conformation moves,
+    # the loop sequence does not, the shape barcode is visible in sequence
+    a = make_combo_pdb(combo, seed=3, cdr_loops=loops,
+                       shape_combo=(0, 0, 0, 0))
+    b = make_combo_pdb(combo, seed=3, cdr_loops=loops,
+                       shape_combo=(3, 3, 3, 3))
+    assert np.abs(h3_cas(a) - h3_cas(b)).max() > 0.5
+    assert loop_ids(a) == loop_ids(b)
+    assert shape_slot_ids(a) != shape_slot_ids(b)  # barcode is visible
+
+    # The rotation-invariant loop deviation profile (jitter off, so the
+    # only remaining rng effect — the global rotation — cancels in the
+    # norms): a decoupled corpus with shape barcode S has EXACTLY the
+    # tied corpus's conformation for combo S, for ANY seq combo — i.e.
+    # conformation is a function of the shape barcode alone.
+    def chord_dev(text):
+        cas = h3_cas(text)
+        t = np.linspace(0.0, 1.0, len(cas))[:, None]
+        chord = cas[0] * (1 - t) + cas[-1] * t
+        return np.linalg.norm(cas - chord, axis=1)
+
+    for shape in ((0, 0, 0, 0), (3, 3, 3, 3), (2, 0, 3, 1)):
+        tied = chord_dev(make_combo_pdb(shape, seed=3, cdr_loops=loops,
+                                        jitter=0.0))
+        for seq_combo in (combo, combo2):
+            dec = chord_dev(make_combo_pdb(seq_combo, seed=3,
+                                           cdr_loops=loops,
+                                           shape_combo=shape, jitter=0.0))
+            # atol: PDB format rounds coords to 1e-3 under different
+            # global rotations, so the invariant norms inherit ~1e-3
+            np.testing.assert_allclose(dec, tied, atol=2e-3)
+    # and the shape signal is real: the two extreme shapes separate
+    d0 = chord_dev(make_combo_pdb(combo, seed=3, cdr_loops=loops,
+                                  shape_combo=(0, 0, 0, 0), jitter=0.0))
+    d3 = chord_dev(make_combo_pdb(combo, seed=3, cdr_loops=loops,
+                                  shape_combo=(3, 3, 3, 3), jitter=0.0))
+    assert np.abs(d0 - d3).max() > 0.1
+
+    # sequences ride only on the seq barcode
+    c = make_combo_pdb(combo2, seed=3, cdr_loops=loops,
+                       shape_combo=(3, 3, 3, 3))
+    assert loop_ids(b) != loop_ids(c)
+    assert shape_slot_ids(b) == shape_slot_ids(c)
+
+
+def test_decoupled_shape_corpus_manifest(tmp_path):
+    """write_combo_corpus(decouple_shape=True) records the flag and draws
+    per-instance shape barcodes (instances of one combo differ in
+    conformation)."""
+    import json
+
+    import numpy as np
+
+    from diffab_pytorch_tpu.data.synthetic import (
+        CDR_LOOP_RANGES, write_combo_corpus,
+    )
+    from diffab_pytorch_tpu.structure.pdb import parse_pdb
+
+    out = str(tmp_path / "corpus")
+    m = write_combo_corpus(
+        out, n_values=2, n_train_combos=6, n_heldout_combos=2,
+        n_per_combo=3, n_val_instances=1, cdr_loops=("H1", "H2", "H3"),
+        decouple_shape=True,
+    )
+    assert m["decouple_shape"] is True
+    assert json.load(open(f"{out}/combos.json"))["decouple_shape"] is True
+
+    lo, hi = CDR_LOOP_RANGES["H3"]
+
+    def chord_dev(path):
+        chains = parse_pdb(open(path).read())
+        cas = np.array([r.xyz[1] for r in chains["H"]
+                        if lo <= r.resseq <= hi])
+        t = np.linspace(0.0, 1.0, len(cas))[:, None]
+        chord = cas[0] * (1 - t) + cas[-1] * t
+        return np.linalg.norm(cas - chord, axis=1)
+
+    devs = [chord_dev(f"{out}/pdb/c0_s{i}.pdb") for i in range(3)]
+    spread = max(
+        np.abs(devs[i] - devs[j]).max()
+        for i in range(3) for j in range(i + 1, 3)
+    )
+    assert spread > 0.3, "per-instance shape barcodes should vary"
