@@ -119,6 +119,12 @@ def encode_model_flops(cfg, b: int, L: int) -> float:
         2 * bll * (Ad * Ad * dp + dp * dp)  # distance-kernel MLP
         + 2 * bll * (cat_pair * dp + 2 * dp * dp)  # pair MLP
     )
+    if m.onehot_pair_tables:
+        # one-hot table contractions (round 4): relpos one-hot matmul +
+        # the factorized vocab-contraction pair of the aa-pair/dist-coef
+        # tables (models/embedding.py pair_table_lookup)
+        mdist_w = 2 * m.max_dist_to_consider + 1
+        pair += 2 * bll * (mdist_w * dp + V * (dp + Ad * Ad))
     dist_cross = 2 * b * (L * Ad) * (L * Ad) * 3  # |x-y|^2 expansion matmul
     return float(res + pair + dist_cross)
 
@@ -167,6 +173,12 @@ def train_hbm_bytes(cfg, b: int, L: int) -> float:
         + (2 * dp + 3 * dp + dp) * bll * 2
         + bl * (m.aa_vocab_size * A * 3) * 2 * 2
     )
+    if m.onehot_pair_tables:
+        # the materialized relpos one-hot (write + read; its gradient-side
+        # re-read rides the 3x forward multiplier below).  The factorized
+        # aa-pair tables materialize only (b, L, vocab)-rank temporaries —
+        # noise at this scale.
+        enc += 2 * bll * (2 * m.max_dist_to_consider + 1) * 2
     # per IPA layer (as the sampler count, without fan-out sharing)
     pair_read = bll * dp * 2  # attended-pair-rows reduction read
     bias = bll * h * 4

@@ -394,7 +394,8 @@ class DiffAb:
             self.train_step_impl, donate_argnums=(0,) if donate else ()
         )
 
-    def make_pool_train_step(self, donate: bool = True):
+    def make_pool_train_step(self, donate: bool = True,
+                             steps_per_call: int = 1):
         """Jitted train step over a DEVICE-RESIDENT sample pool:
         (state, pool, idx, key) -> (state, metrics), where pool is a
         ProteinBatch holding the whole dataset (PatchDataset.device_pool)
@@ -406,12 +407,30 @@ class DiffAb:
         cost once the host pipeline is cached: measured 384 -> ~790
         samples/s at batch 32 on v5e-over-tunnel (DESIGN.md §3), the
         device-resident ceiling.  Prefer this whenever the dataset fits
-        HBM (~165 KB/sample at K=128: 8,400 SAbDab patches ~ 1.4 GB)."""
+        HBM (~165 KB/sample at K=128: 8,400 SAbDab patches ~ 1.4 GB).
+
+        steps_per_call = k > 1 runs k optimizer steps per dispatch as one
+        on-device `lax.scan` over a (k, b) index block — the round-4
+        dispatch-gap lever: after the one-hot table fix the production
+        step's device time (~12 ms) is short enough that the ~2-5 ms
+        per-call host dispatch through the remote tunnel is a double-digit
+        tax.  Numerics are EXACTLY the k=1 chain's (the per-step key fold
+        uses state.step inside the jit, so scanned steps consume the same
+        key sequence — pinned in tests/test_train_infra.py); metrics come
+        back stacked (k,) per entry."""
+        k = int(steps_per_call)
 
         def step(state: TrainState, pool: ProteinBatch, idx: jax.Array,
                  key: jax.Array):
-            batch = jax.tree.map(lambda x: x[idx], pool)
-            return self.train_step_impl(state, batch, key)
+            if k == 1:
+                batch = jax.tree.map(lambda x: x[idx], pool)
+                return self.train_step_impl(state, batch, key)
+
+            def body(st, idx_t):
+                batch = jax.tree.map(lambda x: x[idx_t], pool)
+                return self.train_step_impl(st, batch, key)
+
+            return jax.lax.scan(body, state, idx)  # idx: (k, b)
 
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 

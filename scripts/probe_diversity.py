@@ -143,6 +143,15 @@ def main(argv=None) -> int:
         lambda p, b, k: harness.sample(
             p, b, k, n_designs=n, init="chord", t_start=6 * T // 10,
             noise_scale=0.0, n_steps=10))
+    # the round-4 fast STOCHASTIC recipe (22 evals): chord start, coarse
+    # noiseless transport, stride-1 noisy tail (n_fine_tail) — must match
+    # the 100-eval ns=1+ntmax50 recipe on sequence coverage/diversity
+    # (it matches it on scatter/structure-diversity in the
+    # coord_reverse probes, runs/r4_ck{A,B})
+    sample_fns["chord60,22tail12,ns=1"] = jax.jit(
+        lambda p, b, k: harness.sample(
+            p, b, k, n_designs=n, init="chord", t_start=6 * T // 10,
+            noise_scale=1.0, n_steps=22, n_fine_tail=12, noise_t_max=12))
 
     out = {"meta": {"workdir": args.workdir, "degeneracy": degeneracy,
                     "designs": n, "targets": len(paths),

@@ -213,6 +213,24 @@ def test_pool_step_matches_plain_step(tmp_path):
                     jax.tree.leaves(s_pool.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # steps_per_call=k (round-4 dispatch-gap lever): the scanned k-step
+    # program is EXACTLY the k=1 chain — the per-step key fold rides
+    # state.step inside the jit, so the scan consumes the same key
+    # sequence as sequential dispatches with the same base key
+    idx2 = jnp.asarray([0, 3], jnp.int32)
+    s_seq, _ = pool_step(state, pool, idx, key)
+    s_seq, m_seq = pool_step(s_seq, pool, idx2, key)
+    multi_step = harness.make_pool_train_step(donate=False, steps_per_call=2)
+    s_multi, m_multi = multi_step(state, pool, jnp.stack([idx, idx2]), key)
+    assert m_multi["train/loss"].shape == (2,)  # stacked per-step metrics
+    np.testing.assert_array_equal(
+        np.asarray(m_seq["train/loss"]), np.asarray(m_multi["train/loss"][1])
+    )
+    for a, b in zip(jax.tree.leaves(s_seq.params),
+                    jax.tree.leaves(s_multi.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(s_multi.step) == int(state.step) + 2
+
 
 def test_fit_device_pool(tmp_path):
     """fit(device_pool=True) trains, checkpoints, and refuses to combine
