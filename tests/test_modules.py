@@ -368,8 +368,12 @@ def test_remat_ipa_equivalence(batch):
     out_r = mod_r.apply(params, x, pair, rot, trans)
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(out), atol=1e-5)
 
-    g = jax.grad(lambda p: jnp.sum(mod.apply(p, x, pair, rot, trans) ** 2))(params)
-    g_r = jax.grad(lambda p: jnp.sum(mod_r.apply(p, x, pair, rot, trans) ** 2))(params)
+    g = jax.jit(jax.grad(
+        lambda p: jnp.sum(mod.apply(p, x, pair, rot, trans) ** 2)
+    ))(params)
+    g_r = jax.jit(jax.grad(
+        lambda p: jnp.sum(mod_r.apply(p, x, pair, rot, trans) ** 2)
+    ))(params)
     for a, b_ in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=1e-4)
 
@@ -407,8 +411,8 @@ def test_remat_pair_equivalence(batch):
     np.testing.assert_allclose(
         float(loss(model_r, params)), float(loss(model, params)), rtol=1e-6
     )
-    g = jax.grad(lambda p: loss(model, p))(params)
-    g_r = jax.grad(lambda p: loss(model_r, p))(params)
+    g = jax.jit(jax.grad(lambda p: loss(model, p)))(params)
+    g_r = jax.jit(jax.grad(lambda p: loss(model_r, p)))(params)
     for a, b_ in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(
             np.asarray(b_), np.asarray(a), rtol=2e-5, atol=1e-5
@@ -448,8 +452,8 @@ def test_fuse_pair_bias_equivalence(batch):
     np.testing.assert_allclose(
         float(loss(model, params)), float(loss(model_u, params)), rtol=1e-6
     )
-    g = jax.grad(lambda p: loss(model, p))(params)
-    g_u = jax.grad(lambda p: loss(model_u, p))(params)
+    g = jax.jit(jax.grad(lambda p: loss(model, p)))(params)
+    g_u = jax.jit(jax.grad(lambda p: loss(model_u, p)))(params)
     for a, b_ in zip(jax.tree.leaves(g), jax.tree.leaves(g_u)):
         np.testing.assert_allclose(
             np.asarray(b_), np.asarray(a), rtol=2e-5, atol=1e-5
@@ -497,8 +501,8 @@ def test_onehot_pair_tables_equivalence(batch):
     np.testing.assert_array_equal(
         np.asarray(loss(model, params)), np.asarray(loss(model_g, params))
     )
-    g = jax.grad(lambda p: loss(model, p))(params)
-    g_g = jax.grad(lambda p: loss(model_g, p))(params)
+    g = jax.jit(jax.grad(lambda p: loss(model, p)))(params)
+    g_g = jax.jit(jax.grad(lambda p: loss(model_g, p)))(params)
     for a, b_ in zip(jax.tree.leaves(g), jax.tree.leaves(g_g)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-5

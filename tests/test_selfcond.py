@@ -200,20 +200,24 @@ def test_huge_estimate_stays_finite(harness, state, batch):
     saturate the sc displacement: huge estimates give finite outputs and a
     finite training loss."""
     beta = jnp.full((B,), 0.999)
-    out = harness.model.apply(
-        state.params, batch, batch.seq_idx, batch.translations,
-        batch.orientations, beta,
-        sc_translations_x0=batch.translations + 1e6,
-        sc_seq_probs=jnp.full((B, L, 21), 1 / 21.0),
-        sc_mask=jnp.ones((B,)),
-    )
+    out = jax.jit(
+        lambda p: harness.model.apply(
+            p, batch, batch.seq_idx, batch.translations,
+            batch.orientations, beta,
+            sc_translations_x0=batch.translations + 1e6,
+            sc_seq_probs=jnp.full((B, L, 21), 1 / 21.0),
+            sc_mask=jnp.ones((B,)),
+        )
+    )(state.params)
     for k, v in out.items():
         assert np.isfinite(np.asarray(v)).all(), k
     # gradient through a full loss with the huge-estimate pass stays finite
-    loss, _ = harness.loss_fn(state.params, jax.random.key(11), batch)
-    g = jax.grad(lambda p: harness.loss_fn(p, jax.random.key(11), batch)[0])(
-        state.params
-    )
+    # (jitted: the eager op-by-op grad took ~50 s of the suite wall)
+    loss, g = jax.jit(
+        jax.value_and_grad(
+            lambda p: harness.loss_fn(p, jax.random.key(11), batch)[0]
+        )
+    )(state.params)
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
 
@@ -303,17 +307,19 @@ def test_sc_onset_train_step_is_cold(batch):
         sc_rate=0.0, **common))
     h_onset, h_rate0 = DiffAb(cfg_onset), DiffAb(cfg_rate0)
     state = h_onset.init(jax.random.key(1), batch)
-    l1 = h_onset.loss_fn(state.params, jax.random.key(5), batch, step=3)[0]
-    l2 = h_rate0.loss_fn(state.params, jax.random.key(5), batch, step=3)[0]
+    # jitted with (key, step) as operands: the eager per-key loss_fn loop
+    # cost ~15 s of suite wall; one compile (cached) serves every call
+    f_on = jax.jit(lambda p, k, s: h_onset.loss_fn(p, k, batch, step=s)[0])
+    f_r0 = jax.jit(lambda p, k, s: h_rate0.loss_fn(p, k, batch, step=s)[0])
+    l1 = f_on(state.params, jax.random.key(5), 3)
+    l2 = f_r0(state.params, jax.random.key(5), 3)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     # after onset the conditioned mask fires and the loss differs — over
     # several keys (a single key can draw an all-cold mask at b=2)
     diffs = []
     for k in range(8):
-        la = h_onset.loss_fn(state.params, jax.random.key(k), batch,
-                             step=2000)[0]
-        lb = h_rate0.loss_fn(state.params, jax.random.key(k), batch,
-                             step=2000)[0]
+        la = f_on(state.params, jax.random.key(k), 2000)
+        lb = f_r0(state.params, jax.random.key(k), 2000)
         diffs.append(abs(float(la) - float(lb)))
     assert max(diffs) > 1e-6
 
@@ -331,8 +337,12 @@ def test_sc_seq_loss_weight(batch):
     h_plain = DiffAb(dc.replace(sc_config(), train=TrainConfig(**common)))
     state = h_plain.init(jax.random.key(1), batch)
 
-    m1 = h_w1.loss_fn(state.params, jax.random.key(7), batch, step=1)[1]
-    mp = h_plain.loss_fn(state.params, jax.random.key(7), batch, step=1)[1]
+    # jitted with the key as an operand (cached; the eager loop cost ~10 s)
+    f_w1 = jax.jit(lambda p, k: h_w1.loss_fn(p, k, batch, step=1)[1])
+    f_w25 = jax.jit(lambda p, k: h_w25.loss_fn(p, k, batch, step=1)[1])
+    f_plain = jax.jit(lambda p, k: h_plain.loss_fn(p, k, batch, step=1)[1])
+    m1 = f_w1(state.params, jax.random.key(7))
+    mp = f_plain(state.params, jax.random.key(7))
     np.testing.assert_allclose(float(m1["loss"]), float(mp["loss"]), rtol=1e-7)
 
     # over several keys (a single key can draw an all-cold or all-hot mask
@@ -340,8 +350,8 @@ def test_sc_seq_loss_weight(batch):
     # geometry terms ALWAYS identical, sequence terms differ on mixed masks
     seq_diffs = []
     for k in range(8):
-        m25 = h_w25.loss_fn(state.params, jax.random.key(k), batch, step=1)[1]
-        mk = h_plain.loss_fn(state.params, jax.random.key(k), batch, step=1)[1]
+        m25 = f_w25(state.params, jax.random.key(k))
+        mk = f_plain(state.params, jax.random.key(k))
         np.testing.assert_allclose(float(m25["translations_loss"]),
                                    float(mk["translations_loss"]), rtol=1e-6)
         np.testing.assert_allclose(float(m25["orientations_loss"]),
