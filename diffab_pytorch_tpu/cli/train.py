@@ -107,6 +107,11 @@ def parse_args(argv=None):
     p.add_argument("--sc-geometry-only", action="store_true",
                    help="Self-conditioning features exclude the predicted "
                         "p(s_0) — the multi-loop recipe (QUALITY.md)")
+    p.add_argument("--sc-late-fusion", action="store_true",
+                   help="Inject the conditioned features after the IPA "
+                        "trunk, geometry heads only — the sequence head "
+                        "trains fully cold (ModelConfig.sc_late_fusion; "
+                        "round-4 attribution lever, QUALITY.md)")
     p.add_argument("--sc-rate", type=float, default=0.5,
                    help="Fraction of each batch trained conditioned "
                         "(TrainConfig.sc_rate; the Chen et al. recipe is 0.5)")
@@ -227,6 +232,7 @@ def build_config(args, horizon: int = 0) -> DiffAbConfig:
             cfg, model=dataclasses.replace(
                 cfg.model, self_conditioning=True,
                 self_conditioning_sequence=not args.sc_geometry_only,
+                sc_late_fusion=args.sc_late_fusion,
             )
         )
     return cfg

@@ -128,6 +128,20 @@ class ModelConfig:
     # checkpoints are not interchangeable with the default tree (the
     # reference has no such mechanism; golden parity keeps the default).
     self_conditioning: bool = False
+    # Late-fusion self-conditioning (round 4): the conditioned features
+    # (previous step's x0 estimate, p(s_0), validity flag) are injected
+    # AFTER the IPA trunk, into the coordinate/orientation heads only —
+    # the trunk forward and the sequence head never see them, so the
+    # trunk representation cannot become estimate-dependent and the
+    # sequence head trains effectively 100% cold.  Motivated by the
+    # round-4 attribution experiment (QUALITY.md): conditioned-geometry
+    # features damage barcode-rule learning regardless of information
+    # content (decoupled corpus: AAR 0.755 vs 0.982 control on BOTH val
+    # splits) — a representation/gradient interference through the
+    # shared fuse layer, which this isolates away structurally.  Changes
+    # the geometry heads' input width (recorded per checkpoint via
+    # model_config.json).  Requires self_conditioning.
+    sc_late_fusion: bool = False
     # Include the predicted p(s_0) among the sc features.  True helps the
     # single-loop task; on the harder multi-loop corpus the sequence
     # estimate acts as a self-copy shortcut — train seq-CE converges while

@@ -81,6 +81,8 @@ class Denoiser(nn.Module):
             raise ValueError(
                 "sc_* inputs given but ModelConfig.self_conditioning is off"
             )
+        if cfg.sc_late_fusion and not cfg.self_conditioning:
+            raise ValueError("sc_late_fusion requires self_conditioning")
         if sc_translations_x0 is not None and sc_seq_probs is None:
             raise ValueError("sc_translations_x0 requires sc_seq_probs")
 
@@ -104,6 +106,7 @@ class Denoiser(nn.Module):
             seq_idx_t
         )
         parts = [res_context_emb.astype(dt), s_emb]
+        sc_feats = None
         if cfg.self_conditioning:
             # Rotation-INVARIANT encoding of the previous clean-state
             # estimate: x0_hat expressed in the residue's current noisy
@@ -148,7 +151,10 @@ class Denoiser(nn.Module):
                     pieces.append(sc_seq_probs.astype(jnp.float32) * gate)
                 pieces.append(gate)
                 sc_feats = jnp.concatenate(pieces, axis=-1).astype(dt)
-            parts.append(sc_feats)
+            if not cfg.sc_late_fusion:
+                # early fusion (round 2c): the estimate enters the fuse
+                # MLP and flows through the whole trunk
+                parts.append(sc_feats)
         res = jnp.concatenate(parts, axis=-1)
         res = nn.Dense(d, dtype=dt, name="fuse_0")(res)
         res = nn.relu(res)
@@ -165,8 +171,18 @@ class Denoiser(nn.Module):
         t_emb = jnp.broadcast_to(t_emb[:, None, :], (b, L, 3))
         res = jnp.concatenate([res, t_emb], axis=-1)
 
+        # Late-fusion self-conditioning (config.py sc_late_fusion): the
+        # estimate joins AFTER the trunk and ONLY for the geometry heads
+        # — the trunk representation `res` (which the sequence head
+        # reads) is computed from context alone, so the sequence head
+        # trains effectively 100% cold (the round-4 attribution
+        # experiment's named lever, QUALITY.md).
+        res_geo = res
+        if cfg.self_conditioning and cfg.sc_late_fusion:
+            res_geo = jnp.concatenate([res, sc_feats], axis=-1)
+
         # three parallel heads
-        eps_local = _Head(d, 3, dt, name="coordinate_head")(res)
+        eps_local = _Head(d, 3, dt, name="coordinate_head")(res_geo)
         # Rotate the predicted noise into the GLOBAL frame by the residue's
         # current (noisy) orientation — the DiffAb paper's R_j^(t) G(...)
         # (Luo et al. 2022, coordinate reverse step).  This is load-bearing:
@@ -186,7 +202,7 @@ class Denoiser(nn.Module):
             + eps_local[..., 2:3] * r[..., 2, :]
         )
 
-        v_eps = _Head(d, 3, dt, name="orientation_head")(res)
+        v_eps = _Head(d, 3, dt, name="orientation_head")(res_geo)
         o_eps = so3.vector_to_rotation_matrix(v_eps.astype(jnp.float32))
         # LOCAL-side composition (o_eps @ O_t, rows-as-axes convention):
         # the invariant head then parameterizes a frame-relative correction

@@ -78,6 +78,10 @@ def parse_args(argv=None):
                    help="Self-conditioning features exclude the predicted "
                         "p(s_0) (the multi-loop recipe; config.py "
                         "self_conditioning_sequence)")
+    p.add_argument("--sc-late-fusion", action="store_true",
+                   help="Conditioned features after the trunk, geometry "
+                        "heads only (ModelConfig.sc_late_fusion — the "
+                        "round-4 attribution lever)")
     p.add_argument("--sc-rate", type=float, default=0.5,
                    help="Fraction of each batch trained conditioned")
     p.add_argument("--sc-onset", type=int, default=0,
@@ -277,6 +281,7 @@ def main(argv=None) -> int:
             compute_dtype="float32" if args.smoke else "bfloat16",
             self_conditioning=args.self_conditioning,
             self_conditioning_sequence=not args.sc_geometry_only,
+            sc_late_fusion=args.sc_late_fusion,
             dist_atoms=args.dist_atoms,
             **({} if args.d_pair is None else {"d_pair_emb": args.d_pair}),
         ),
@@ -590,6 +595,7 @@ def main(argv=None) -> int:
         "params_m": n_params / 1e6,
         "self_conditioning": args.self_conditioning,
         "sc_schedule": {
+            "late_fusion": args.sc_late_fusion,
             "rate": args.sc_rate, "onset": args.sc_onset,
             "rate_warmup": args.sc_rate_warmup,
             "seq_loss_weight": args.sc_seq_loss_weight,

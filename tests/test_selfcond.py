@@ -494,3 +494,57 @@ def test_cli_train_sc_schedule_flags():
     assert cfg.train.sc_rate_warmup == 456
     assert cfg.train.sc_seq_loss_weight == 0.2
     assert cfg.train.adam_eps == 1e-5
+
+
+def test_sc_late_fusion_isolates_sequence_head(batch):
+    """sc_late_fusion (round 4): the conditioned features join after the
+    trunk, geometry heads only — so seq_posterior is BIT-identical with
+    and without an estimate (the sequence pathway is structurally cold),
+    while the geometry heads respond.  Param shapes: the geometry heads
+    widen, fuse_0 carries no sc columns, sequence head unchanged."""
+    cfg = dc.replace(sc_config(), model=dc.replace(
+        sc_config().model, sc_late_fusion=True))
+    h = DiffAb(cfg)
+    state = h.init(jax.random.key(2), batch)
+    d = cfg.model.d_residue_emb
+    K = cfg.model.aa_vocab_size
+    p = state.params["params"]["denoiser"]
+    sc_w = 3 + K + 1
+    assert p["fuse_0"]["kernel"].shape[0] == 2 * d  # no sc columns
+    assert p["coordinate_head"]["dense_0"]["kernel"].shape[0] == d + 3 + sc_w
+    assert p["orientation_head"]["dense_0"]["kernel"].shape[0] == d + 3 + sc_w
+    assert p["sequence_head"]["dense_0"]["kernel"].shape[0] == d + 3
+
+    beta = jnp.full((B,), 0.2)
+    fwd = jax.jit(lambda prm, kw: h.model.apply(
+        prm, batch, batch.seq_idx, batch.translations, batch.orientations,
+        beta, **kw), static_argnums=())
+    cold = h.model.apply(
+        state.params, batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta,
+    )
+    warm = h.model.apply(
+        state.params, batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta,
+        sc_translations_x0=batch.translations + 0.5,
+        sc_seq_probs=jnp.full((B, L, K), 1.0 / K),
+        sc_mask=jnp.ones((B,)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cold["seq_posterior"]), np.asarray(warm["seq_posterior"])
+    )
+    assert float(jnp.max(jnp.abs(
+        warm["translations_eps"] - cold["translations_eps"]
+    ))) > 1e-6
+    # trains end to end: one jitted step, finite loss
+    step = h.make_train_step(donate=False)
+    s2, m = step(state, batch, jax.random.key(3))
+    assert np.isfinite(float(m["train/loss"]))
+
+
+def test_sc_late_fusion_requires_sc(batch):
+    cfg = dc.replace(tiny_config(), model=dc.replace(
+        tiny_config().model, sc_late_fusion=True))
+    h = DiffAb(cfg)
+    with pytest.raises(ValueError, match="sc_late_fusion"):
+        h.init(jax.random.key(0), batch)
