@@ -113,6 +113,13 @@ def parse_args(argv=None):
                         "'hight' (dense at high t where basin entry is "
                         "decided — trades median precision for a lower "
                         "scatter rate; see DESIGN.md)")
+    p.add_argument("--n-fine-tail", type=int, default=None,
+                   help="Few-step chains: run the final k timesteps at "
+                        "stride 1 (the noisy segment of the round-4 fast "
+                        "STOCHASTIC recipe '--init chord --t-restart 60 "
+                        "--n-steps 22 --n-fine-tail 12 --noise-t-max 12 "
+                        "--noise-scale 1' — full-recipe scatter/precision/"
+                        "diversity at 22 evals, DESIGN.md §3)")
     p.add_argument("--x0-clip", default="auto",
                    help="Static thresholding of the implied clean coords "
                         "each reverse step: 'auto' (bound from the context "
@@ -221,6 +228,7 @@ def main(argv=None) -> int:
         noise_scale=args.noise_scale,
         noise_t_max=noise_t_max,
         step_schedule=args.step_schedule,
+        n_fine_tail=args.n_fine_tail,
         coord_solver=args.coord_solver,
         coord_solver_t_min=args.coord_solver_t_min,
         orientation_reverse=args.orientation_reverse,
