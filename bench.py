@@ -403,6 +403,7 @@ def main():
         "train_binding_bound": "bandwidth" if tr_bw > tr_mfu else "flops",
         # secondaries below fill in if wall budget allows
         "samples_per_sec_10step_chord_fanout": None,
+        "samples_per_sec_22eval_stochastic_fanout": None,
         "samples_per_sec_25step_fanout": None,
         "train_production_steps_per_sec": None,
         "train_production_samples_per_sec": None,
@@ -466,6 +467,27 @@ def main():
             prod_steps_per_sec * PB, 1
         )
         out["train_production_batch_size"] = PB
+
+    # 22-eval fine-tail chord chain — the round-4 fast STOCHASTIC recipe
+    # (sampler n_fine_tail): scatter/precision/diversity at parity with
+    # the 100-eval ns1+ntmax50 recipe on two retrains and the degenerate
+    # corpus (runs/r4_ck{A,B}, runs/r4_div2 — DESIGN.md §3)
+    if time_left() > 240:
+        tail_fn = jax.jit(
+            lambda p, b, k: harness.sample(
+                p, b, k, n_designs=N_DESIGNS, n_steps=22, n_fine_tail=12,
+                noise_t_max=12, init="chord", t_start=6 * T // 10,
+                noise_scale=1.0,
+            )
+        )
+        jax.block_until_ready(tail_fn(state.params, one, jax.random.key(2)))
+        t0 = time.time()
+        for k in keys:
+            rest = tail_fn(state.params, one, k)
+        jax.block_until_ready(rest)
+        out["samples_per_sec_22eval_stochastic_fanout"] = round(
+            N_DESIGNS * n_iters / (time.time() - t0), 3
+        )
 
     # 25-step respaced chain in the same fan-out config — the pre-chord
     # fast mode (QUALITY.md: same median RMSD as the full chain)
