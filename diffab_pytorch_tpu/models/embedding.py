@@ -262,7 +262,6 @@ class PairEmbedding(nn.Module):
         # computed as two (..., vocab)-contractions, so nothing
         # 441-wide is ever materialized.  Exact: one-hot rows select
         # single table rows (products by 1.0, sums over zeros).
-        b_, L_ = seq_idx.shape
         oh_seq = (
             jax.nn.one_hot(seq_idx, vocab, dtype=dt)
             if cfg.onehot_pair_tables else None
