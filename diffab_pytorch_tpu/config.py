@@ -99,6 +99,19 @@ class ModelConfig:
     # and sums over zeros are exact in every dtype) — transplant goldens
     # unchanged.  Param tree unchanged.  OFF path kept for A/B.
     onehot_pair_tables: bool = True
+    # Apply the pair MLP's first layer as per-feature-block partial
+    # matmuls (round 4): mlp_0(concat(blocks)) == sum_i blocks[i] @ W_i
+    # + b, so each block is consumed in its native layout and the
+    # (b, L, L, 162) concat plus its layout copy — the two largest ops
+    # of the post-onehot train profile (~1 ms of 11.2,
+    # runs/profile_r4b/train_top_ops.json) — never materialize.  Same
+    # sliced-projection trick as models/ipa.py to_out (param tree
+    # unchanged via the identity matmul); splitting only regroups f32
+    # accumulation per block.  Measured on v5e (same-process A/B,
+    # runs/profile_r4b/ab_split_pair_mlp0.json): production step 71.8 ->
+    # 92.1 steps/s (+28% — the backward's 162-wide gradient concat
+    # vanishes too) — ON by default.
+    split_pair_mlp0: bool = True
     # Rematerialize IPA layers in the backward pass (jax.checkpoint):
     # trades ~1 extra forward for not storing per-layer activations —
     # enables much larger training batches (HBM is the binding constraint

@@ -360,10 +360,26 @@ class PairEmbedding(nn.Module):
             dist_feat *= pair_ctx
             dihedral_feat *= pair_ctx
 
-        x = jnp.concatenate(
-            [pair_feat, relpos_feat, dist_feat, dihedral_feat], axis=-1
-        )
-        x = nn.Dense(d, dtype=dt, name="mlp_0")(x)
+        blocks = [pair_feat, relpos_feat, dist_feat, dihedral_feat]
+        mlp0 = nn.Dense(d, dtype=dt, name="mlp_0")
+        if cfg.split_pair_mlp0:
+            # per-block partial matmuls instead of concat + one matmul
+            # (config.py split_pair_mlp0): each block is consumed in its
+            # native layout; the (b, L, L, 162) concat and its layout
+            # copy never materialize.  Kernel materialized through the
+            # same Dense (identity matmul — param tree unchanged, the
+            # ipa.py to_out trick); bias added once.
+            total = sum(blk.shape[-1] for blk in blocks)
+            b_row = mlp0(jnp.zeros((1, total), dt))  # (1, d)
+            W = mlp0(jnp.eye(total, dtype=dt)) - b_row  # (total, d)
+            x = b_row.reshape(-1)
+            off = 0
+            for blk in blocks:
+                w = blk.shape[-1]
+                x = x + blk @ W[off:off + w]
+                off += w
+        else:
+            x = mlp0(jnp.concatenate(blocks, axis=-1))
         x = nn.relu(x)
         x = nn.Dense(d, dtype=dt, name="mlp_1")(x)
         x = nn.relu(x)

@@ -460,6 +460,33 @@ def test_fuse_pair_bias_equivalence(batch):
         )
 
 
+def test_split_pair_mlp0_equivalence(batch):
+    """split_pair_mlp0 (config.py, round 4): the per-block partial
+    matmuls equal the concat + single matmul to f32 regrouping, forward
+    and parameter gradients, with the param tree unchanged."""
+    import dataclasses
+
+    args = (batch.seq_idx, batch.xyz, batch.pairwise_dihedrals,
+            batch.residue_idx, batch.chain_idx, batch.atom_mask)
+    m_on = PairEmbedding(dataclasses.replace(CFG, split_pair_mlp0=True))
+    m_off = PairEmbedding(dataclasses.replace(CFG, split_pair_mlp0=False))
+    params = m_on.init(jax.random.key(40), *args)
+    assert jax.tree.structure(params) == jax.tree.structure(
+        m_off.init(jax.random.key(40), *args)
+    )
+    a = m_on.apply(params, *args)
+    b_ = m_off.apply(params, *args)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                               rtol=1e-5, atol=1e-5)
+    g_on = jax.jit(jax.grad(
+        lambda p: jnp.sum(m_on.apply(p, *args) ** 2)))(params)
+    g_off = jax.jit(jax.grad(
+        lambda p: jnp.sum(m_off.apply(p, *args) ** 2)))(params)
+    for x, y in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_off)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_onehot_pair_tables_equivalence(batch):
     """onehot_pair_tables (config.py, round 4): pair-table lookups as
     one-hot MXU contractions are BIT-equal to the gather path in forward,
