@@ -419,6 +419,16 @@ def main():
     # --- secondaries, each gated on remaining wall budget (a remote
     # compile costs 1-3 min; only start one if it can plausibly finish)
 
+    # Fast-recipe fan-out width: the short chains amortize per-step
+    # overhead over more designs, so their throughput peaks at n=512,
+    # not the headline's n=128 (width sweep
+    # runs/profile_r4b/ab_fastrecipe_width.json: chord-10 4,335.5/s and
+    # 22-eval 2,037.2/s at n=512 vs 3,957.7 / 1,988.0 at n=128).  The
+    # record should carry the best sustained number the configuration
+    # actually produces (round-4 VERDICT weak #1).
+    N_FAST = 512
+    out["fast_recipe_fanout_width"] = N_FAST
+
     # 10-step chord-start chain (round 3) — generation from the forward-
     # noised anchor chord at t_start=0.6T skips most of the high-t
     # transport; measured on the trained checkpoint at full-length-recipe
@@ -428,7 +438,7 @@ def main():
     if time_left() > 240:
         chord_fn = jax.jit(
             lambda p, b, k: harness.sample(
-                p, b, k, n_designs=N_DESIGNS, n_steps=10, init="chord",
+                p, b, k, n_designs=N_FAST, n_steps=10, init="chord",
                 t_start=6 * T // 10, noise_scale=0.0,
             )
         )
@@ -438,7 +448,7 @@ def main():
             resch = chord_fn(state.params, one, k)
         jax.block_until_ready(resch)
         out["samples_per_sec_10step_chord_fanout"] = round(
-            N_DESIGNS * n_iters / (time.time() - t0), 3
+            N_FAST * n_iters / (time.time() - t0), 3
         )
 
     # production-recipe train throughput: the quality-gated fast settings
@@ -475,7 +485,7 @@ def main():
     if time_left() > 240:
         tail_fn = jax.jit(
             lambda p, b, k: harness.sample(
-                p, b, k, n_designs=N_DESIGNS, n_steps=22, n_fine_tail=12,
+                p, b, k, n_designs=N_FAST, n_steps=22, n_fine_tail=12,
                 noise_t_max=12, init="chord", t_start=6 * T // 10,
                 noise_scale=1.0,
             )
@@ -486,7 +496,7 @@ def main():
             rest = tail_fn(state.params, one, k)
         jax.block_until_ready(rest)
         out["samples_per_sec_22eval_stochastic_fanout"] = round(
-            N_DESIGNS * n_iters / (time.time() - t0), 3
+            N_FAST * n_iters / (time.time() - t0), 3
         )
 
     # 25-step respaced chain in the same fan-out config — the pre-chord

@@ -158,6 +158,13 @@ def timestep_schedule(
                   only the already-solved deterministic transport.
     """
     t_start = int(t_start)
+    if n_fine_tail and step_schedule != "uniform":
+        # guard here, not only in sample(): direct callers of this public
+        # helper must not get a schedule that quietly drops the requested
+        # tail (the hight branch returns first) — ADVICE r4
+        raise ValueError(
+            "n_fine_tail composes only with step_schedule='uniform'"
+        )
     if n_steps is None or n_steps >= t_start:
         return np.arange(t_start, 0, -1)
     if step_schedule == "hight":

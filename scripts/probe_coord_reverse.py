@@ -118,7 +118,15 @@ def main(argv=None) -> int:
             prmsd = jnp.sqrt((pd * gm).sum(-1) / jnp.maximum(gm.sum(), 1))
             ok = rmsd <= 2.0  # clean designs only
             wpair = ok[:, None] & ok[None, :] & ~jnp.eye(n, dtype=bool)
-            pairdiv = (prmsd * wpair).sum() / jnp.maximum(wpair.sum(), 1)
+            # NaN (not 0.0) when < 2 designs pass the clean filter: a
+            # fully-scattered arm must stay distinguishable from a
+            # mode-collapsed one, and a 0.0 would deflate the
+            # cross-target mean (aggregated with nanmean below)
+            pairdiv = jnp.where(
+                wpair.sum() > 0,
+                (prmsd * wpair).sum() / jnp.maximum(wpair.sum(), 1),
+                jnp.nan,
+            )
             return dict(rmsd=rmsd, aar=aar, pairdiv=pairdiv)
 
         return jax.jit(_fn)
@@ -289,9 +297,15 @@ def main(argv=None) -> int:
             "rmsd_median": float(np.median(rmsd)),
             "rmsd_best_of_n": float(best),
             "aar": float(aar.mean()),
-            # mean pairwise CA-RMSD among CLEAN designs of one target
+            # mean pairwise CA-RMSD among CLEAN designs of one target;
+            # targets with < 2 clean designs contribute NaN, excluded by
+            # nanmean, and are counted separately so a scattered arm is
+            # not read as mode-collapsed (ADVICE r4)
             "structure_diversity_A": float(
-                np.mean([r["pairdiv"] for r in raw[arm]])
+                np.nanmean([r["pairdiv"] for r in raw[arm]])
+            ),
+            "targets_under_2_clean": int(
+                np.sum([np.isnan(r["pairdiv"]) for r in raw[arm]])
             ),
         }
         out[arm] = m
