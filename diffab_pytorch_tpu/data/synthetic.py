@@ -32,6 +32,7 @@ and CA-RMSD(H3) ~ jitter scale; an untrained model sits at chance.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -532,6 +533,227 @@ def write_combo_corpus(
         "n_val_instances": n_val_instances,
     }
     with open(os.path.join(out_dir, "combos.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
+def _fv_unit_chains(
+    rng: np.random.Generator,
+    heavy_id: str | None,
+    light_id: str | None,
+    antigen_ids: list[str],
+    combo: tuple[int, ...] | None,
+    heavy_len: int = 118,
+    light_len: int = 107,
+    jitter: float = 0.1,
+    bump_base: float = 1.0,
+    bump_step: float = 0.6,
+) -> list[tuple[str, list[Residue]]]:
+    """One Fv unit (heavy and/or light + its antigen chains) as
+    (chain_id, residues) pairs in a unit-local pose: the building block of
+    the SAbDab-inventory-shaped corpus below.  Geometry and the
+    compositional H3 rule follow make_combo_pdb; what varies here is the
+    CHAIN COMPOSITION — absent heavy (light-only rows), absent light
+    (nanobody rows), 1-5 antigen chains of varying length — matching the
+    real meta.csv row being synthesized."""
+    chains: list[tuple[str, list[Residue]]] = []
+    anchor_ca = None
+    if heavy_id is not None:
+        resnums = list(range(1, heavy_len + 1))
+        seq = (
+            _heavy_sequence_combo(resnums, combo, ("H3",))
+            if combo is not None
+            else [_aa(3 * r) for r in resnums]
+        )
+        h_res, h_ca = _chain_residues(
+            resnums, origin=np.zeros(3),
+            direction=np.array([1.0, 0.2, 0.0]),
+            perp=np.array([0.0, 0.0, 1.0]), rng=rng, sequence=seq,
+        )
+        if combo is not None:
+            # compositional H3 conformation (the make_combo_pdb mixture)
+            lo, hi = CDR_LOOP_RANGES["H3"]
+            mix = np.zeros(3)
+            for j, v in enumerate(combo):
+                phi = (j / max(N_SLOTS - 1, 1) - 0.5) * (5.0 * np.pi / 6.0)
+                u = np.array([0.0, np.cos(phi), np.sin(phi)])
+                mix = mix + (bump_base + bump_step * v) * u
+            mix = mix / N_SLOTS
+            for res in h_res:
+                if lo <= res.resnum <= hi:
+                    w = np.sin(np.pi * (res.resnum - lo + 0.5)
+                               / (hi - lo + 1))
+                    for name in res.atoms:
+                        res.atoms[name] = res.atoms[name] + w * mix
+        chains.append((heavy_id, h_res))
+        anchor_ca = h_ca[94:102].mean(axis=0)
+    if light_id is not None:
+        resnums = list(range(1, light_len + 1))
+        l_res, l_ca = _chain_residues(
+            resnums, origin=np.array([0.0, 14.0, 4.0]),
+            direction=np.array([1.0, -0.2, 0.1]),
+            perp=np.array([0.0, 0.0, 1.0]), rng=rng,
+            sequence=_light_sequence(resnums),
+        )
+        chains.append((light_id, l_res))
+        if anchor_ca is None:
+            # light-only rows: antigens dock near the L3 loop instead
+            anchor_ca = l_ca[88:97].mean(axis=0)
+    for j, ag_id in enumerate(antigen_ids):
+        ag_len = int(rng.integers(40, 91))
+        resnums = list(range(1, ag_len + 1))
+        # fan the antigen chains around the docking site so multi-chain
+        # antigens stay distinct but all remain in patch range
+        phi = 2.0 * np.pi * j / max(len(antigen_ids), 1)
+        side = np.array([0.0, -8.0 - 6.0 * np.cos(phi), 6.0 + 5.0 * np.sin(phi)])
+        a_res, _ = _chain_residues(
+            resnums, origin=anchor_ca + side,
+            direction=np.array([-1.0, 0.3, 0.2 + 0.15 * j]),
+            perp=np.array([0.2, 0.0, 1.0]), rng=rng,
+            sequence=_antigen_sequence(resnums),
+        )
+        chains.append((ag_id, a_res))
+    # one pose + thermal jitter per unit, bonds repaired afterwards
+    rot = _random_rotation(rng)
+    for _, residues in chains:
+        _transform(residues, rot, jitter, rng)
+        _repair_peptide_bonds(residues)
+    return chains
+
+
+def write_meta_shaped_corpus(
+    out_dir: str,
+    meta_path: str,
+    n_values: int = 4,
+    n_train_combos: int = 40,
+    n_heldout_combos: int = 12,
+    n_heldout_targets: int = 24,
+    seed: int = 0,
+    limit: int | None = None,
+) -> dict:
+    """Synthesize a corpus with the EXACT inventory shape of a SAbDab
+    meta.csv (reference data/meta.csv: 8,400 rows over 4,413 PDB files)
+    — the round-5 dress rehearsal for real data (round-4 VERDICT #1).
+
+    One PDB file per unique pdb_id containing every row's chains under
+    their real chain ids (multi-Fv files up to 16 rows, multi-chain
+    antigens up to 5, 'nan' heavy/light rows preserved); a meta.csv in the
+    reference's column format ('a | b' antigen joins, empty = nan) drives
+    `cli.preprocess --meta` over all rows exactly as the reference's
+    snakemake fan-out would (preprocess.smk:9-21 semantics).
+
+    The learnable signal is the compositional barcode rule of
+    write_combo_corpus, assigned one combo per Fv row: training rows draw
+    from the train-combo set, and `n_heldout_targets` single-row PDBs are
+    reserved as the held-out-COMBINATION eval split (their combos never
+    appear in training).  Returns (and writes) a manifest mapping each
+    row's npz stem to its combo and split."""
+    import json
+
+    import pandas as pd
+
+    meta = pd.read_csv(meta_path)
+    meta = meta[["pdb_id", "Hchain", "Lchain", "antigen_chain"]]
+    if limit is not None:
+        meta = meta.iloc[:limit]
+    train_combos, heldout_combos = split_combos(
+        n_values, n_train_combos, n_heldout_combos, seed=seed
+    )
+    rng = np.random.default_rng(seed * 9_000_017 + 5)
+
+    def _chain(v):
+        s = "" if v is None or (isinstance(v, float) and np.isnan(v)) \
+            else str(v).strip()
+        return s or None
+
+    # held-out targets: single-row pdbs WITH a heavy chain (the rule is
+    # expressed in H3, so heavy-less rows cannot carry an eval combo)
+    counts = meta.groupby("pdb_id").size()
+    single = [
+        p for p in counts[counts == 1].index
+        if _chain(meta[meta.pdb_id == p].iloc[0].Hchain) is not None
+    ]
+    heldout_pdbs = set(
+        rng.permutation(sorted(single))[:n_heldout_targets].tolist()
+    )
+
+    pdb_dir = os.path.join(out_dir, "pdb")
+    os.makedirs(pdb_dir, exist_ok=True)
+    manifest_rows = {}
+    n_files = 0
+    ho_cycle = 0
+    for pdb_id, grp in meta.groupby("pdb_id", sort=True):
+        units = []
+        for rec in grp.itertuples():
+            heavy, light = _chain(rec.Hchain), _chain(rec.Lchain)
+            ag_raw = _chain(rec.antigen_chain)
+            antigens = (
+                [c.strip() for c in ag_raw.split("|")] if ag_raw else []
+            )
+            if heavy is None:
+                combo = None
+            elif pdb_id in heldout_pdbs:
+                combo = heldout_combos[ho_cycle % len(heldout_combos)]
+                ho_cycle += 1
+            else:
+                combo = train_combos[int(rng.integers(len(train_combos)))]
+            stem = "_".join([
+                str(pdb_id), heavy or "na", light or "na",
+                "".join(antigens) or "na",
+            ])
+            manifest_rows[stem] = {
+                "pdb_id": str(pdb_id),
+                "combo": list(combo) if combo is not None else None,
+                "split": ("heldout" if pdb_id in heldout_pdbs else
+                          "train" if combo is not None else "no_heavy"),
+            }
+            units.append((heavy, light, antigens, combo))
+        # crc32, not hash(): str hashing is salted per process
+        # (PYTHONHASHSEED), and the corpus must reproduce across runs
+        unit_rng = np.random.default_rng(
+            (zlib.crc32(str(pdb_id).encode()) & 0x7FFFFFFF) * 3_000_161
+            + seed
+        )
+        chains: list[tuple[str, list[Residue]]] = []
+        seen_ids: set[str] = set()
+        for u, (heavy, light, antigens, combo) in enumerate(units):
+            unit = _fv_unit_chains(unit_rng, heavy, light, antigens, combo)
+            # spread the units apart so patches never mix Fv units
+            off = np.array([95.0 * u, 23.0 * (u % 3), 40.0 * (u // 3)])
+            for cid, residues in unit:
+                if cid in seen_ids:
+                    continue  # shared antigen chain: first definition wins
+                seen_ids.add(cid)
+                for res in residues:
+                    for name in res.atoms:
+                        res.atoms[name] = res.atoms[name] + off
+                chains.append((cid, residues))
+        with open(os.path.join(pdb_dir, f"{pdb_id}.pdb"), "w") as fh:
+            fh.write(format_pdb(chains))
+        n_files += 1
+
+    # reference-format meta.csv (the exact columns cli.preprocess reads)
+    out_rows = ["pdb_id,Hchain,Lchain,antigen_chain"]
+    for rec in meta.itertuples():
+        heavy, light = _chain(rec.Hchain), _chain(rec.Lchain)
+        ag = _chain(rec.antigen_chain) or ""
+        out_rows.append(
+            f"{rec.pdb_id},{heavy or ''},{light or ''},{ag}"
+        )
+    with open(os.path.join(out_dir, "meta.csv"), "w") as fh:
+        fh.write("\n".join(out_rows) + "\n")
+
+    manifest = {
+        "meta_path": meta_path,
+        "n_rows": int(len(meta)),
+        "n_pdb_files": n_files,
+        "n_values": n_values,
+        "train_combos": [list(c) for c in train_combos],
+        "heldout_combos": [list(c) for c in heldout_combos],
+        "heldout_pdbs": sorted(heldout_pdbs),
+        "rows": manifest_rows,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2)
     return manifest
 

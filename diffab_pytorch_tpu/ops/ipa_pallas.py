@@ -52,6 +52,14 @@ _NEG_INF = -1e9
 # to pin per-db numerics.
 DESIGNS_PER_BLOCK: int | None = None
 
+# Round-5 fused-layer variant: the per-cell projection and output-
+# projection dots run across all db designs at once (2D Mosaic-legal
+# matmuls with the designs merged into the row/lane dim) instead of the
+# static per-design unroll — see _layer_kernel_batched.  Module global so
+# the A/B benches and tests can pin either path; flipped by models/ipa.py
+# per ModelConfig once validated on hardware.
+BATCHED_LAYER_KERNEL: bool = False
+
 
 def _pick_designs_per_block(n_designs: int) -> int:
     if DESIGNS_PER_BLOCK is not None:
@@ -503,6 +511,149 @@ def _layer_kernel(
         acc_ref[di] = acc.astype(acc_ref.dtype)
 
 
+def _layer_kernel_batched(
+    x_ref,     # (db, L, d)
+    rot_ref,   # (db, 9, L)   rows 3*i+j = R[i, j]
+    trg_ref,   # (db, h, 3, L)  g-scaled translations (q/k side)
+    trv_ref,   # (db, 3, L)     plain translations (v side)
+    nk_ref,    # (db, 1, L)     -NEG_INF/scale_total on padded keys
+    wq_ref,    # (d, h*(ds+3*pq))
+    wk_ref,    # (d, h*(ds+3*pq))
+    wv_ref,    # (d, h*(ds+3*pv))
+    bias_ref,  # (1, h, L, L) f32 pair-bias logits
+    wos_ref,   # (h*ds, d)
+    wop_ref,   # (h*3*pv, d)  rows ordered (h, coord, pv)
+    won_ref,   # (db? no) -> (h*pv, d)
+    acc_ref,   # (db, L, d)
+    attn_ref,  # (db, h, L, L)
+    *,
+    scale_total: float,
+    h: int,
+    ds: int,
+    pq: int,
+    pv: int,
+):
+    """Fat-dot fused layer (round 5): the same math as _layer_kernel but
+    the per-cell dots that CAN legally batch across the db designs do —
+    the three projection matmuls contract against all db*L residue rows
+    at once, and the three output projections run once on lane-
+    concatenated per-design operands.  Mosaic's tpu.matmul supports at
+    most ONE batch dim (measured: a (db, h)-batched dot fails kernel
+    verification), so the h-batched logit/weighted-sum dots stay per
+    design under the static unroll.  The r5 roofline
+    (runs/r5_roofline) put the unrolled kernel at ~32% of its own
+    bandwidth-set bound with MXU issue overhead the prime suspect; the
+    projections are 47% of kernel FLOPs and gain a db-times-fatter N
+    dimension here.  Per-output-element f32 accumulation order is
+    unchanged (same contraction, same lengths), so numerics match the
+    unrolled kernel bit-for-bit.
+    """
+    f32 = jnp.float32
+    dt = x_ref.dtype
+    db, L, d = x_ref.shape
+    bias = bias_ref[0].astype(f32)  # (h, L, L), shared across designs
+
+    # ALL designs' projections in three 2D dots: (d, F)^T . (d, db*L)
+    # -> (F, db*L); per-design views are 128-aligned lane slices.
+    x2 = x_ref[:].reshape(db * L, d)  # leading-dim merge: layout-free
+    proj = lambda w_ref: jax.lax.dot_general(
+        w_ref[:], x2, (((0,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    pjq, pjk, pjv = proj(wq_ref), proj(wk_ref), proj(wv_ref)
+
+    os_parts, loc_parts, nrm_parts = [], [], []
+    for di in range(db):  # static unroll for the h-batched attention dots
+        sl = slice(di * L, (di + 1) * L)
+        r = rot_ref[di]  # (9, L)
+        rc = lambda k: r[k : k + 1, :].astype(f32)[None]  # (1, 1, L)
+
+        def split(p, np_):
+            return (
+                p[: h * ds, sl].reshape(h, ds, L),
+                p[h * ds :, sl].reshape(h, 3, np_, L),
+            )
+
+        qs, qp = split(pjq, pq)
+        ks, kp = split(pjk, pq)
+        vs, vp = split(pjv, pv)
+
+        def fapply(p4, t_c, inverse=False):
+            """x @ R + t per coordinate; p4 (h, 3, P, L)."""
+            cols = []
+            for c in range(3):
+                idx = (lambda i: 3 * i + c) if not inverse else (
+                    lambda i: 3 * c + i
+                )
+                o = (
+                    p4[:, 0] * rc(idx(0))
+                    + p4[:, 1] * rc(idx(1))
+                    + p4[:, 2] * rc(idx(2))
+                )
+                if t_c is not None:
+                    o = o + t_c(c)
+                cols.append(o[:, None])
+            return jnp.concatenate(cols, axis=1)  # (h, 3, P, L)
+
+        trg = trg_ref[di].astype(f32)  # (h, 3, L)
+        trv = trv_ref[di].astype(f32)  # (3, L)
+        qg = fapply(qp, lambda c: trg[:, c][:, None, :])
+        kg = fapply(kp, lambda c: trg[:, c][:, None, :])
+        vg = fapply(vp, lambda c: trv[c : c + 1, :][None])
+
+        q_sq = jnp.sum((qg * qg).reshape(h, 3 * pq, L), 1, keepdims=True)
+        k_sq = jnp.sum((kg * kg).reshape(h, 3 * pq, L), 1, keepdims=True)
+        ones = jnp.ones((h, 1, L), f32)
+        nk = jnp.broadcast_to(nk_ref[di].astype(f32)[None], (h, 1, L))
+        f_aug = ds + 3 * pq + 3
+        pad = -(-f_aug // 16) * 16 - f_aug
+        zpad = jnp.zeros((h, pad, L), f32)
+        q_aug = jnp.concatenate(
+            [qs, (2.0 * qg).reshape(h, 3 * pq, L), -q_sq, -ones, ones,
+             zpad], axis=1,
+        ).astype(dt)
+        k_aug = jnp.concatenate(
+            [ks, kg.reshape(h, 3 * pq, L), ones, k_sq, nk, zpad], axis=1
+        ).astype(dt)
+
+        logit = jax.lax.dot_general(
+            q_aug, k_aug, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )  # (h, L, L)
+        logit = (logit + bias) * scale_total
+        m = jnp.max(logit, axis=-1, keepdims=True)
+        e = jnp.exp(logit - m)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True)
+        at = attn.astype(dt)
+        attn_ref[di] = at
+
+        wsum = lambda v_t: jax.lax.dot_general(
+            v_t.astype(dt), at, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        os_parts.append(wsum(vs).reshape(h * ds, L))
+        og = wsum(vg.reshape(h, 3 * pv, L)).reshape(h, 3, pv, L)
+        dd = og - trv[None, :, None, :]
+        loc = fapply(dd, None, inverse=True)
+        nrm = jnp.sqrt(jnp.sum(loc * loc, axis=1) + 1e-8)  # (h, pv, L)
+        loc_parts.append(loc.reshape(h * 3 * pv, L))
+        nrm_parts.append(nrm.reshape(h * pv, L))
+
+    # output projections ONCE per cell on lane-concatenated operands:
+    # (rows, db*L) . (rows, d) -> (db*L, d) -> (db, L, d) (leading split)
+    out_proj = lambda parts, w_ref: jax.lax.dot_general(
+        jnp.concatenate(parts, axis=1).astype(dt), w_ref[:],
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    acc = (
+        out_proj(os_parts, wos_ref)
+        + out_proj(loc_parts, wop_ref)
+        + out_proj(nrm_parts, won_ref)
+    )
+    acc_ref[:] = acc.reshape(db, L, d).astype(acc_ref.dtype)
+
+
 def _pallas_layer(
     x, rot, trans, mask,
     w_qs, w_ks, w_vs, w_qp, w_kp, w_vp, w_os, w_op, w_on,
@@ -582,8 +733,8 @@ def _pallas_layer(
         out_specs=[dspec(L, d), dspec(h, L, L)],
     )
     kernel = functools.partial(
-        _layer_kernel, scale_total=float(scale_total), h=h, ds=ds, pq=pq,
-        pv=pv,
+        _layer_kernel_batched if BATCHED_LAYER_KERNEL else _layer_kernel,
+        scale_total=float(scale_total), h=h, ds=ds, pq=pq, pv=pv,
     )
     fq = h * (ds + 3 * pq)
     flops_per_design = (

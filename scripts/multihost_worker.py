@@ -100,6 +100,32 @@ def main() -> None:
         gstate, gmetrics = gstep(gstate, gbatch, gkey)
         gspmd_losses.append(float(gmetrics["train/loss"]))
 
+    # CROSS-PROCESS tp arm (round 5): make_mesh keeps tp as the MINOR
+    # axis, so on a process-per-host topology every tp pair above lands
+    # inside one process and the tp collectives never cross the process
+    # boundary.  Here the device grid is transposed — tp pairs are
+    # (device i of process 0, device i of process 1) — so the per-layer
+    # GSPMD all-reduce of the Megatron-sharded projections genuinely
+    # rides the inter-process link (DCN on a real pod).  Losses are
+    # topology-invariant, pinned against single-process by the test.
+    gspmd_xproc_losses = []
+    if args.num_processes > 1 and jax.device_count() % args.num_processes == 0:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devs = sorted(
+            jax.devices(), key=lambda d: (d.process_index, d.id)
+        )
+        grid = _np.asarray(devs).reshape(args.num_processes, -1).T
+        xmesh = Mesh(grid, ("dp", "tp"))  # tp spans the process boundary
+        xstate = shard_state(harness.init(jax.random.key(1), batch), xmesh)
+        xstep = make_sharded_train_step(harness, xmesh, donate=False)
+        xbatch = put_global(batch, batch_sharding(xmesh))
+        xkey = put_global(jax.random.key(5), replicated(xmesh))
+        for i in range(2):
+            xstate, xmetrics = xstep(xstate, xbatch, xkey)
+            gspmd_xproc_losses.append(float(xmetrics["train/loss"]))
+
     # Pod-scale fan-out: n designs of one target spread over the global dp
     # axis; each process sees its local rows only, so report a local digest
     # plus the global design count implied by the output shape.
@@ -123,6 +149,7 @@ def main() -> None:
         "global_devices": jax.device_count(),
         "losses": losses,
         "gspmd_losses": gspmd_losses,
+        "gspmd_xproc_losses": gspmd_xproc_losses,
         "final_step": int(state.step),
         "fanout_rows_global": int(res.seq_idx.shape[0]),
         "fanout_local_unique": len(local_seqs),

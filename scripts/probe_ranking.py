@@ -44,6 +44,12 @@ def main(argv=None) -> int:
     p.add_argument("--n-steps", type=int, default=None,
                    help="Few-step chain length (e.g. 25 gives the ranking "
                         "probe a regime with real sequence errors to rank)")
+    p.add_argument("--fine-tail-22", action="store_true",
+                   help="Sample with the round-4 production fast STOCHASTIC "
+                        "recipe (22-eval fine-tail chord chain: n_steps=22, "
+                        "n_fine_tail=12, noise_t_max=12, chord@0.6T, ns=1) — "
+                        "round-4 VERDICT #5: the oracle-free ranking was "
+                        "only ever validated on 100-eval chains")
     p.add_argument("--cdrs", nargs="+", default=["H3"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--smoke", action="store_true", help="CPU + tiny preset")
@@ -143,10 +149,16 @@ def main(argv=None) -> int:
             "uniform x4 draws": dict(t_grid=uni, n_draws=4),
         })
 
+    tail_kw = {}
+    if args.fine_tail_22:
+        tail_kw = dict(n_steps=22, n_fine_tail=12, noise_t_max=12,
+                       init="chord", t_start=6 * T // 10, noise_scale=1.0)
+
     def _eval(params, one, rep, key):
-        res = harness.sample(params, one, key, n_designs=n,
-                             noise_scale=args.noise_scale,
-                             n_steps=args.n_steps, **gen_flags)
+        skw = tail_kw or dict(noise_scale=args.noise_scale,
+                              n_steps=args.n_steps)
+        res = harness.sample(params, one, key, n_designs=n, **skw,
+                             **gen_flags)
         gen = rep.generation_mask & rep.residue_mask
         rmsd = ca_rmsd(res.translations, rep.translations, gen,
                        scale=COORD_SCALE)
@@ -173,7 +185,10 @@ def main(argv=None) -> int:
 
     report = {"meta": {"mode": args.mode, "noise_scale": args.noise_scale,
                        "n_steps": args.n_steps, "designs": n,
-                       "targets": len(rows)}}
+                       "targets": len(rows),
+                       "fine_tail_22": bool(args.fine_tail_22),
+                       "sample_kwargs": {k: str(v) for k, v in
+                                         tail_kw.items()}}}
     rmsds = np.stack([r["rmsd"] for r in rows])  # (targets, n)
     aars = np.stack([r["aar"] for r in rows])
     # the "badness" the ranking should order: geometric error when
@@ -204,10 +219,14 @@ def main(argv=None) -> int:
     report["oracle_best_of_n"] = oracle
     report["unranked_mean"] = float(bad.mean())
     report["unranked_aar_mean"] = float(aars.mean())
-    suffix = "" if args.mode == "codesign" and args.n_steps is None else (
-        f"_{args.mode.replace('-', '')}"
-        + (f"_{args.n_steps}step" if args.n_steps else "")
-    )
+    if args.fine_tail_22:
+        suffix = "_finetail22"
+    else:
+        suffix = "" if args.mode == "codesign" and args.n_steps is None \
+            else (
+                f"_{args.mode.replace('-', '')}"
+                + (f"_{args.n_steps}step" if args.n_steps else "")
+            )
     out = os.path.join(args.workdir, f"rank_probe{suffix}.json")
     with open(out, "w") as fh:
         json.dump(report, fh, indent=2)

@@ -95,9 +95,13 @@ def test_two_process_dp_matches_single_process(tmp_path):
         ref.append(float(metrics["train/loss"]))
     np.testing.assert_allclose(r0["losses"], ref, rtol=1e-5)
 
-    # GSPMD dp x tp arm: the step folds (key, step) device-independently,
+    # GSPMD dp x tp arms: the step folds (key, step) device-independently,
     # so the two-process tp-sharded losses must equal a plain single-device
-    # step sequence with the same key.
+    # step sequence with the same key.  Two topologies are pinned:
+    #   gspmd_losses        make_mesh(tp=2) — tp pairs inside one process;
+    #   gspmd_xproc_losses  transposed grid — every tp pair SPANS the two
+    #                       processes, so the per-layer Megatron all-reduce
+    #                       crosses the process boundary (DCN on a pod).
     state = harness.init(jax.random.key(1), batch)
     single = harness.make_train_step(donate=False)
     gref = []
@@ -105,3 +109,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
         state, metrics = single(state, batch, jax.random.key(5))
         gref.append(float(metrics["train/loss"]))
     np.testing.assert_allclose(r0["gspmd_losses"], gref, rtol=1e-5)
+    np.testing.assert_allclose(r0["gspmd_xproc_losses"], gref, rtol=1e-5)
+    np.testing.assert_array_equal(
+        r0["gspmd_xproc_losses"], r1["gspmd_xproc_losses"]
+    )
