@@ -112,6 +112,11 @@ def parse_args(argv=None):
                         "trunk, geometry heads only — the sequence head "
                         "trains fully cold (ModelConfig.sc_late_fusion; "
                         "round-4 attribution lever, QUALITY.md)")
+    p.add_argument("--sc-split-trunk", action="store_true",
+                   help="Separate geometry trunk for the conditioned "
+                        "pathway — full architectural isolation of the "
+                        "sequence head, ~2x trunk params "
+                        "(ModelConfig.sc_split_trunk, QUALITY.md round 5)")
     p.add_argument("--sc-rate", type=float, default=0.5,
                    help="Fraction of each batch trained conditioned "
                         "(TrainConfig.sc_rate; the Chen et al. recipe is 0.5)")
@@ -233,6 +238,7 @@ def build_config(args, horizon: int = 0) -> DiffAbConfig:
                 cfg.model, self_conditioning=True,
                 self_conditioning_sequence=not args.sc_geometry_only,
                 sc_late_fusion=args.sc_late_fusion,
+                sc_split_trunk=args.sc_split_trunk,
             )
         )
     return cfg

@@ -155,6 +155,19 @@ class ModelConfig:
     # the geometry heads' input width (recorded per checkpoint via
     # model_config.json).  Requires self_conditioning.
     sc_late_fusion: bool = False
+    # Split-trunk self-conditioning (round 5): the geometry heads read a
+    # SECOND, independently-parameterized trunk (own fuse MLP + own IPA
+    # stack) that receives the conditioned features early-fused, while
+    # the sequence head keeps the original trunk computed from context
+    # alone — FULL architectural isolation at ~2x trunk parameters and
+    # ~2x trunk compute.  Motivation: late fusion removes the FORWARD
+    # path of the interference but the geometry-head gradients still
+    # flow through the shared trunk, and the tied-corpus late-fusion
+    # AAR is a seed-dependent basin outcome (0.774-0.999 across six
+    # seeds, QUALITY.md round 5) — this is the asserted ceiling, built
+    # and measured.  Mutually exclusive with sc_late_fusion; requires
+    # self_conditioning.
+    sc_split_trunk: bool = False
     # Include the predicted p(s_0) among the sc features.  True helps the
     # single-loop task; on the harder multi-loop corpus the sequence
     # estimate acts as a self-copy shortcut — train seq-CE converges while

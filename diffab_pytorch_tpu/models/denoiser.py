@@ -83,6 +83,12 @@ class Denoiser(nn.Module):
             )
         if cfg.sc_late_fusion and not cfg.self_conditioning:
             raise ValueError("sc_late_fusion requires self_conditioning")
+        if cfg.sc_split_trunk and not cfg.self_conditioning:
+            raise ValueError("sc_split_trunk requires self_conditioning")
+        if cfg.sc_split_trunk and cfg.sc_late_fusion:
+            raise ValueError(
+                "sc_split_trunk and sc_late_fusion are mutually exclusive"
+            )
         if sc_translations_x0 is not None and sc_seq_probs is None:
             raise ValueError("sc_translations_x0 requires sc_seq_probs")
 
@@ -151,7 +157,7 @@ class Denoiser(nn.Module):
                     pieces.append(sc_seq_probs.astype(jnp.float32) * gate)
                 pieces.append(gate)
                 sc_feats = jnp.concatenate(pieces, axis=-1).astype(dt)
-            if not cfg.sc_late_fusion:
+            if not cfg.sc_late_fusion and not cfg.sc_split_trunk:
                 # early fusion (round 2c): the estimate enters the fuse
                 # MLP and flows through the whole trunk
                 parts.append(sc_feats)
@@ -180,6 +186,28 @@ class Denoiser(nn.Module):
         res_geo = res
         if cfg.self_conditioning and cfg.sc_late_fusion:
             res_geo = jnp.concatenate([res, sc_feats], axis=-1)
+
+        # Split-trunk self-conditioning (config.py sc_split_trunk): the
+        # geometry heads read a SECOND trunk — own fuse MLP and own IPA
+        # stack — that receives the estimate early-fused, while `res`
+        # (the sequence head's input) stays context-only.  Unlike late
+        # fusion, even the geometry GRADIENTS cannot touch the sequence
+        # pathway's trunk: full architectural isolation at ~2x trunk
+        # parameters (the round-5 measured ceiling for the late-fusion
+        # seed spread, QUALITY.md).  The geo stack computes its own
+        # pair-bias logits (the hoisted pair_biases belong to `ipa`).
+        if cfg.self_conditioning and cfg.sc_split_trunk:
+            g = jnp.concatenate(
+                [res_context_emb.astype(dt), s_emb, sc_feats], axis=-1
+            )
+            g = nn.Dense(d, dtype=dt, name="geo_fuse_0")(g)
+            g = nn.relu(g)
+            g = nn.Dense(d, dtype=dt, name="geo_fuse_1")(g)
+            g = InvariantPointAttentionModule(cfg, name="geo_ipa")(
+                g, pair_context_emb, orientations_t, translations_t,
+                residue_mask,
+            )
+            res_geo = jnp.concatenate([g, t_emb], axis=-1)
 
         # three parallel heads
         eps_local = _Head(d, 3, dt, name="coordinate_head")(res_geo)

@@ -55,10 +55,15 @@ DESIGNS_PER_BLOCK: int | None = None
 # Round-5 fused-layer variant: the per-cell projection and output-
 # projection dots run across all db designs at once (2D Mosaic-legal
 # matmuls with the designs merged into the row/lane dim) instead of the
-# static per-design unroll — see _layer_kernel_batched.  Module global so
-# the A/B benches and tests can pin either path; flipped by models/ipa.py
-# per ModelConfig once validated on hardware.
-BATCHED_LAYER_KERNEL: bool = False
+# static per-design unroll — see _layer_kernel_batched.  ON by default:
+# measured on v5e, two timed windows each, replicated
+# (runs/r5_roofline/ab_batched_kernel.json): T=100 n=128 fan-out
+# 474.8 -> 530.9 designs/s (+11.8%), chord-10 n=512 4,190 -> 4,636
+# (+10.6%), 22-eval n=512 1,994 -> 2,226 (+11.7%); outputs bit-identical
+# to the unrolled kernel.  Module global so A/B benches and tests can
+# pin either path.  db=8 measured +2% more at n=512 but the r2b OOM
+# caveat stands (db=16 is a VMEM OOM: 21.8M > 16M scoped); auto stays 4.
+BATCHED_LAYER_KERNEL: bool = True
 
 
 def _pick_designs_per_block(n_designs: int) -> int:

@@ -82,6 +82,12 @@ def parse_args(argv=None):
                    help="Conditioned features after the trunk, geometry "
                         "heads only (ModelConfig.sc_late_fusion — the "
                         "round-4 attribution lever)")
+    p.add_argument("--sc-split-trunk", action="store_true",
+                   help="Separate geometry trunk for the conditioned "
+                        "pathway (ModelConfig.sc_split_trunk — full "
+                        "architectural isolation, ~2x trunk params; the "
+                        "round-5 ceiling arm for the late-fusion seed "
+                        "spread)")
     p.add_argument("--sc-rate", type=float, default=0.5,
                    help="Fraction of each batch trained conditioned")
     p.add_argument("--sc-onset", type=int, default=0,
@@ -282,6 +288,7 @@ def main(argv=None) -> int:
             self_conditioning=args.self_conditioning,
             self_conditioning_sequence=not args.sc_geometry_only,
             sc_late_fusion=args.sc_late_fusion,
+            sc_split_trunk=args.sc_split_trunk,
             dist_atoms=args.dist_atoms,
             **({} if args.d_pair is None else {"d_pair_emb": args.d_pair}),
         ),
@@ -596,6 +603,7 @@ def main(argv=None) -> int:
         "self_conditioning": args.self_conditioning,
         "sc_schedule": {
             "late_fusion": args.sc_late_fusion,
+            "split_trunk": args.sc_split_trunk,
             "rate": args.sc_rate, "onset": args.sc_onset,
             "rate_warmup": args.sc_rate_warmup,
             "seq_loss_weight": args.sc_seq_loss_weight,

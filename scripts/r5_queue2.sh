@@ -34,4 +34,13 @@ done
 run_job rank22 timeout 2400 python scripts/probe_ranking.py \
   --workdir runs/r4_ckA --fine-tail-22
 
+# split-trunk sc: the asserted-but-unmeasured ceiling for the late-fusion
+# seed spread (0.774-0.999) — full architectural isolation, 2 seeds
+for s in 0 3; do
+  run_job "sctr_s${s}" timeout 7200 python scripts/quality_run.py \
+    --workdir "runs/r5_mcdr48k_sctr_s${s}" --cdrs H1 H2 H3 \
+    --steps 48000 --lr 3e-4 --self-conditioning --sc-geometry-only \
+    --sc-split-trunk --seed "${s}" --skip-untrained
+done
+
 echo "[queue2] finished $(date +%H:%M:%S)"

@@ -548,3 +548,78 @@ def test_sc_late_fusion_requires_sc(batch):
     h = DiffAb(cfg)
     with pytest.raises(ValueError, match="sc_late_fusion"):
         h.init(jax.random.key(0), batch)
+
+
+def test_sc_split_trunk_isolates_sequence_pathway(batch):
+    """sc_split_trunk (round 5): the geometry heads read a SECOND trunk
+    (own fuse MLP + own IPA stack) that receives the estimate early-fused;
+    the sequence head keeps the context-only trunk.  Forward isolation:
+    seq_posterior bit-identical with/without an estimate.  GRADIENT
+    isolation (the property late fusion lacks): the geometry losses'
+    gradient w.r.t. the sequence trunk's parameters is zero."""
+    cfg = dc.replace(sc_config(), model=dc.replace(
+        sc_config().model, sc_split_trunk=True))
+    h = DiffAb(cfg)
+    state = h.init(jax.random.key(2), batch)
+    d = cfg.model.d_residue_emb
+    K = cfg.model.aa_vocab_size
+    p = state.params["params"]["denoiser"]
+    sc_w = 3 + K + 1
+    # sequence trunk carries no sc columns; geo trunk carries them
+    assert p["fuse_0"]["kernel"].shape[0] == 2 * d
+    assert p["geo_fuse_0"]["kernel"].shape[0] == 2 * d + sc_w
+    assert "geo_ipa" in p and "ipa" in p
+    # heads read trunk width + beta encoding only (no post-trunk concat)
+    assert p["coordinate_head"]["dense_0"]["kernel"].shape[0] == d + 3
+    assert p["sequence_head"]["dense_0"]["kernel"].shape[0] == d + 3
+
+    beta = jnp.full((B,), 0.2)
+    cold = h.model.apply(
+        state.params, batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta,
+    )
+    warm = h.model.apply(
+        state.params, batch, batch.seq_idx, batch.translations,
+        batch.orientations, beta,
+        sc_translations_x0=batch.translations + 0.5,
+        sc_seq_probs=jnp.full((B, L, K), 1.0 / K),
+        sc_mask=jnp.ones((B,)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cold["seq_posterior"]), np.asarray(warm["seq_posterior"])
+    )
+    assert float(jnp.max(jnp.abs(
+        warm["translations_eps"] - cold["translations_eps"]
+    ))) > 1e-6
+
+    # gradient isolation: d(geometry outputs)/d(sequence-trunk params) = 0
+    def geo_loss(params):
+        out = h.model.apply(
+            params, batch, batch.seq_idx, batch.translations,
+            batch.orientations, beta,
+            sc_translations_x0=batch.translations + 0.5,
+            sc_seq_probs=jnp.full((B, L, K), 1.0 / K),
+            sc_mask=jnp.ones((B,)),
+        )
+        return (jnp.sum(out["translations_eps"] ** 2)
+                + jnp.sum(out["orientations_t0"] ** 2))
+
+    g = jax.grad(geo_loss)(state.params)["params"]["denoiser"]
+    for name in ("fuse_0", "fuse_1", "ipa", "sequence_head"):
+        leaves = jax.tree.leaves(g[name])
+        assert all(float(jnp.abs(x).max()) == 0.0 for x in leaves), name
+    # ... while the geo trunk trains
+    assert any(float(jnp.abs(x).max()) > 0
+               for x in jax.tree.leaves(g["geo_ipa"]))
+    # end to end: one jitted train step, finite loss
+    step = h.make_train_step(donate=False)
+    s2, m = step(state, batch, jax.random.key(3))
+    assert np.isfinite(float(m["train/loss"]))
+
+
+def test_sc_split_trunk_excludes_late_fusion(batch):
+    cfg = dc.replace(sc_config(), model=dc.replace(
+        sc_config().model, sc_split_trunk=True, sc_late_fusion=True))
+    h = DiffAb(cfg)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        h.init(jax.random.key(0), batch)
