@@ -407,7 +407,10 @@ class DiffAb:
         cost once the host pipeline is cached: measured 384 -> ~790
         samples/s at batch 32 on v5e-over-tunnel (DESIGN.md §3), the
         device-resident ceiling.  Prefer this whenever the dataset fits
-        HBM (~165 KB/sample at K=128: 8,400 SAbDab patches ~ 1.4 GB).
+        HBM — measured at the full SAbDab inventory scale: 8,333 K=128
+        patches = 0.28 GB on-chip (~34 KB/sample; the round-5 dress
+        rehearsal, runs/r5_dress/rehearsal.json — an earlier ~1.4 GB
+        estimate here overcounted 5x).
 
         steps_per_call = k > 1 runs k optimizer steps per dispatch as one
         on-device `lax.scan` over a (k, b) index block — the round-4
