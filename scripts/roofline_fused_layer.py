@@ -113,6 +113,9 @@ def main(argv=None) -> int:
     ap.add_argument("--ab", action="store_true",
                     help="run the on-device DESIGNS_PER_BLOCK A/B at n=512")
     ap.add_argument("--out", default="runs/r5_roofline")
+    ap.add_argument("--trace", default="runs/profile_r4b",
+                    help="profile dir whose sample_top_ops.json supplies the\n                    measured per-call microseconds")
+    ap.add_argument("--name", default="fused_kernel_roofline.json")
     args = ap.parse_args(argv)
 
     from diffab_pytorch_tpu.config import default_config
@@ -122,7 +125,7 @@ def main(argv=None) -> int:
 
     # measured per-call us from the committed r4b trace: six layer_* Pallas
     # calls, each 100 scan steps per sample batch at n=128
-    trace_path = os.path.join(REPO, "runs/profile_r4b/sample_top_ops.json")
+    trace_path = os.path.join(REPO, args.trace, "sample_top_ops.json")
     with open(trace_path) as fh:
         trace = json.load(fh)
     layer_us = [
@@ -143,7 +146,7 @@ def main(argv=None) -> int:
         "what": ("fused_ipa_layer per-call roofline at n=128 fan-out, "
                  "default model (d=128, h=8, ds=32, pq=pv=8, L=128)"),
         "measured_us_per_call": round(meas_us, 1),
-        "measured_source": "runs/profile_r4b/sample_top_ops.json "
+        "measured_source": f"{args.trace}/sample_top_ops.json "
                            f"({len(layer_us)} layer ops)",
         "ledger": led,
         "arithmetic_intensity_flop_per_byte": round(ai, 1),
@@ -198,10 +201,9 @@ def main(argv=None) -> int:
         out["ab_designs_per_block_n512"] = sweep
         print(json.dumps({"ab": sweep}))
 
-    with open(os.path.join(args.out, "fused_kernel_roofline.json"),
-              "w") as fh:
+    with open(os.path.join(args.out, args.name), "w") as fh:
         json.dump(out, fh, indent=1)
-    print(f"wrote {args.out}/fused_kernel_roofline.json")
+    print(f"wrote {args.out}/{args.name}")
     return 0
 
 
