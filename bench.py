@@ -18,11 +18,14 @@ Budget discipline (round-4 restructure — BENCH_r03 was rc=124/null
 because seven separately-jitted programs through the 1-3-min-per-compile
 remote tunnel overran the driver's timeout):
 
-  * The COMPLETE headline JSON line (fan-out designs/s + train steps/s +
-    rooflines + vs_baseline) is printed and flushed as soon as those two
-    programs are measured — a later timeout truncates detail, never the
-    record (the driver reads the tail; both lines carry the same
-    metric/value contract).
+  * Progressive emission (round-5 restructure): a complete
+    contract-conforming JSON line is printed after EVERY stage —
+    sampling headline first, the two fast recipes second, the bsz16
+    train step + rooflines third, production train and the legacy
+    25-step chain last — so a timeout or a degraded-tunnel compile
+    (measured: 6+ min for one train-step compile) loses only the least
+    important remaining fields, never the record (the driver reads the
+    tail line).
   * Train steps are timed as repeated calls of the once-compiled step on
     the SAME TrainState instead of chaining states: chained states walk
     an XLA layout fix-point that costs 3-4 extra remote recompiles per
@@ -348,32 +351,6 @@ def main():
     hbm_bps = hbm_bytes * n_iters / dt
     bw_pct = hbm_bps / peak_hbm_bw(jax.devices()[0])
 
-    # headline companion: train step throughput (batch 16, reference-
-    # default model).  ONE compile: the step is timed as repeated calls
-    # on the same TrainState rather than chained states — chaining walks
-    # an XLA layout fix-point costing 3-4 extra remote recompiles
-    # (DESIGN.md §3) for an identical steady-state program.  20 timed
-    # steps amortize per-call remote-dispatch latency (~10 ms/call
-    # through the tunnel distorts a 5-step window ~25%).
-    train_batch = synthetic_batch(jax.random.key(4), 16, L, cfg.model.n_atoms)
-    step_fn = harness.make_train_step(donate=False)
-    base_key = jax.random.key(5)
-    s2, _ = step_fn(state, train_batch, base_key)  # compile + warmup
-    jax.block_until_ready(s2)
-    t0 = time.time()
-    for _ in range(20):
-        s2, m = step_fn(state, train_batch, base_key)  # key folds with step inside
-    jax.block_until_ready(s2)
-    train_steps_per_sec = 20 / (time.time() - t0)
-
-    # train-side roofline (round-3 VERDICT weak #5): analytic FLOP/byte
-    # counts for the step — the (b,L,L,A^2) distance-kernel tensors paid
-    # every step make training's binding bound different from sampling's
-    tr_flops = train_model_flops(cfg, 16, L)
-    tr_bytes = train_hbm_bytes(cfg, 16, L)
-    tr_mfu = tr_flops * train_steps_per_sec / peak_flops(jax.devices()[0])
-    tr_bw = tr_bytes * train_steps_per_sec / peak_hbm_bw(jax.devices()[0])
-
     baseline = get_baseline()
     out = {
         "metric": "CDR-H3 codesign designs/sec/chip "
@@ -382,7 +359,6 @@ def main():
         "unit": "samples/sec/chip",
         "vs_baseline": round(samples_per_sec / baseline, 1),
         "baseline_torch_cpu_samples_per_sec": round(baseline, 4),
-        "train_steps_per_sec_bsz16": round(train_steps_per_sec, 3),
         "n_designs_fanout": N_DESIGNS,
         "compile_seconds": round(compile_s, 1),
         "device": str(jax.devices()[0]),
@@ -396,12 +372,19 @@ def main():
         "binding_bound": (
             "bandwidth" if bw_pct > (mfu or 0.0) else "flops"
         ),
-        "train_tflops_per_sec": round(tr_flops * train_steps_per_sec / 1e12, 2),
-        "train_mfu_pct": round(100 * tr_mfu, 2),
-        "train_hbm_gbps": round(tr_bytes * train_steps_per_sec / 1e9, 1),
-        "train_pct_of_bandwidth_roofline": round(100 * tr_bw, 1),
-        "train_binding_bound": "bandwidth" if tr_bw > tr_mfu else "flops",
-        # secondaries below fill in if wall budget allows
+        # the later stages fill these in if wall budget allows; every
+        # emit() below prints a complete contract-conforming record, so a
+        # timeout loses the LEAST important remaining fields (round-5
+        # restructure: a degraded tunnel spent 6+ min on the bsz16
+        # train-step compile and starved the fast-recipe secondaries the
+        # round-4 review asked to carry — sampling first, fast recipes
+        # second, train numbers third)
+        "train_steps_per_sec_bsz16": None,
+        "train_tflops_per_sec": None,
+        "train_mfu_pct": None,
+        "train_hbm_gbps": None,
+        "train_pct_of_bandwidth_roofline": None,
+        "train_binding_bound": None,
         "samples_per_sec_10step_chord_fanout": None,
         "samples_per_sec_22eval_stochastic_fanout": None,
         "samples_per_sec_25step_fanout": None,
@@ -410,11 +393,15 @@ def main():
         "train_production_batch_size": None,
         "wall_seconds_at_headline": round(time.time() - t_begin, 1),
     }
-    # The record is safe from here: a timeout truncates secondaries, not
-    # the headline (the driver reads the tail; this line is a complete
-    # contract-conforming record on its own).
-    print(json.dumps(out))
-    sys.stdout.flush()
+
+    def emit():
+        out["wall_seconds_last_emit"] = round(time.time() - t_begin, 1)
+        print(json.dumps(out))
+        sys.stdout.flush()
+
+    # The record is safe from here: a timeout truncates later fields,
+    # never the headline (the driver reads the tail line).
+    emit()
 
     # --- secondaries, each gated on remaining wall budget (a remote
     # compile costs 1-3 min; only start one if it can plausibly finish)
@@ -429,6 +416,11 @@ def main():
     N_FAST = 512
     out["fast_recipe_fanout_width"] = N_FAST
 
+    # Secondary order = importance under budget pressure (round 5: a
+    # slow-compile session skipped everything after the production
+    # train): the two fast recipes first — they are the record the
+    # round-4 review asked to carry at best width — then production
+    # train, then the legacy 25-step chain.
     # 10-step chord-start chain (round 3) — generation from the forward-
     # noised anchor chord at t_start=0.6T skips most of the high-t
     # transport; measured on the trained checkpoint at full-length-recipe
@@ -451,12 +443,73 @@ def main():
             N_FAST * n_iters / (time.time() - t0), 3
         )
 
+    # 22-eval fine-tail chord chain — the round-4 fast STOCHASTIC recipe
+    # (sampler n_fine_tail): scatter/precision/diversity at parity with
+    # the 100-eval ns1+ntmax50 recipe on two retrains and the degenerate
+    # corpus (runs/r4_ck{A,B}, runs/r4_div2 — DESIGN.md §3)
+    if time_left() > 240:
+        tail_fn = jax.jit(
+            lambda p, b, k: harness.sample(
+                p, b, k, n_designs=N_FAST, n_steps=22, n_fine_tail=12,
+                noise_t_max=12, init="chord", t_start=6 * T // 10,
+                noise_scale=1.0,
+            )
+        )
+        jax.block_until_ready(tail_fn(state.params, one, jax.random.key(2)))
+        t0 = time.time()
+        for k in keys:
+            rest = tail_fn(state.params, one, k)
+        jax.block_until_ready(rest)
+        out["samples_per_sec_22eval_stochastic_fanout"] = round(
+            N_FAST * n_iters / (time.time() - t0), 3
+        )
+    emit()  # headline + both fast recipes now on record
+
+    # train step throughput (batch 16, reference-default model).  ONE
+    # compile: the step is timed as repeated calls on the same TrainState
+    # rather than chained states — chaining walks an XLA layout fix-point
+    # costing 3-4 extra remote recompiles (DESIGN.md §3) for an identical
+    # steady-state program.  20 timed steps amortize per-call
+    # remote-dispatch latency.  This stage ran BEFORE the fast recipes
+    # until round 5; on a degraded tunnel its compile alone took 6+ min.
+    if time_left() > 180:
+        train_batch = synthetic_batch(jax.random.key(4), 16, L,
+                                      cfg.model.n_atoms)
+        step_fn = harness.make_train_step(donate=False)
+        base_key = jax.random.key(5)
+        s2, _ = step_fn(state, train_batch, base_key)  # compile + warmup
+        jax.block_until_ready(s2)
+        t0 = time.time()
+        for _ in range(20):
+            s2, m = step_fn(state, train_batch, base_key)  # key folds inside
+        jax.block_until_ready(s2)
+        train_steps_per_sec = 20 / (time.time() - t0)
+
+        # train-side roofline (round-3 VERDICT weak #5): analytic
+        # FLOP/byte counts — the (b,L,L,A^2) distance-kernel tensors paid
+        # every step make training's binding bound different
+        tr_flops = train_model_flops(cfg, 16, L)
+        tr_bytes = train_hbm_bytes(cfg, 16, L)
+        tr_mfu = tr_flops * train_steps_per_sec / peak_flops(jax.devices()[0])
+        tr_bw = tr_bytes * train_steps_per_sec / peak_hbm_bw(jax.devices()[0])
+        out["train_steps_per_sec_bsz16"] = round(train_steps_per_sec, 3)
+        out["train_tflops_per_sec"] = round(
+            tr_flops * train_steps_per_sec / 1e12, 2
+        )
+        out["train_mfu_pct"] = round(100 * tr_mfu, 2)
+        out["train_hbm_gbps"] = round(
+            tr_bytes * train_steps_per_sec / 1e9, 1
+        )
+        out["train_pct_of_bandwidth_roofline"] = round(100 * tr_bw, 1)
+        out["train_binding_bound"] = "bandwidth" if tr_bw > tr_mfu else "flops"
+        emit()
+
     # production-recipe train throughput: the quality-gated fast settings
     # (production_config: dist_atoms=4, d_pair 48, bf16 — DESIGN.md §3,
     # gate runs/quality_combo12k_prod) at the recipe batch, so the bench
     # records what a production training run actually achieves per chip.
-    # Same one-compile non-chained timing as the headline train number.
-    if time_left() > 240:
+    # Same one-compile non-chained timing as the bsz16 train number.
+    if time_left() > 180:
         from diffab_pytorch_tpu.config import production_config
 
         pcfg = production_config()
@@ -478,27 +531,6 @@ def main():
         )
         out["train_production_batch_size"] = PB
 
-    # 22-eval fine-tail chord chain — the round-4 fast STOCHASTIC recipe
-    # (sampler n_fine_tail): scatter/precision/diversity at parity with
-    # the 100-eval ns1+ntmax50 recipe on two retrains and the degenerate
-    # corpus (runs/r4_ck{A,B}, runs/r4_div2 — DESIGN.md §3)
-    if time_left() > 240:
-        tail_fn = jax.jit(
-            lambda p, b, k: harness.sample(
-                p, b, k, n_designs=N_FAST, n_steps=22, n_fine_tail=12,
-                noise_t_max=12, init="chord", t_start=6 * T // 10,
-                noise_scale=1.0,
-            )
-        )
-        jax.block_until_ready(tail_fn(state.params, one, jax.random.key(2)))
-        t0 = time.time()
-        for k in keys:
-            rest = tail_fn(state.params, one, k)
-        jax.block_until_ready(rest)
-        out["samples_per_sec_22eval_stochastic_fanout"] = round(
-            N_FAST * n_iters / (time.time() - t0), 3
-        )
-
     # 25-step respaced chain in the same fan-out config — the pre-chord
     # fast mode (QUALITY.md: same median RMSD as the full chain)
     if time_left() > 240:
@@ -518,7 +550,7 @@ def main():
         )
 
     out["wall_seconds_total"] = round(time.time() - t_begin, 1)
-    print(json.dumps(out))
+    emit()
 
 
 if __name__ == "__main__":
